@@ -1,0 +1,88 @@
+"""Bootstrap strategies: vanilla and programmable (LUT).
+
+Mirrors the reference's strategy trait (bootstrap/mod.rs:23-43) so users can
+inject a strategy into `Gates`; the core pipelines are plain functions usable
+directly under `jit`.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from .key import CloudKey
+from .ops.blind_rotate import blind_rotate
+from .ops.extract import sample_extract
+from .ops.keyswitch import identity_key_switch
+
+
+def bootstrap(ct: jax.Array, ck: CloudKey) -> jax.Array:
+    """Full gate bootstrap: blind rotate -> extract(0) -> key switch.
+
+    ct: uint32 [B, n0+1] -> uint32 [B, n0+1]. Reference: vanilla.rs:40-52.
+    """
+    acc = blind_rotate(ct, ck.testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
+    lv1 = sample_extract(acc, 0)
+    return identity_key_switch(lv1, ck.ksk_limbs, ck.params)
+
+
+def bootstrap_without_key_switch(ct: jax.Array, ck: CloudKey) -> jax.Array:
+    """Blind rotate + extract, staying at lv1: uint32 [B, N+1].
+
+    Deviation from the reference (vanilla.rs:54-63), which truncates the lv1
+    mask to n0 coefficients producing an undecryptable "hybrid" ciphertext;
+    we return the full lv1 LWE so callers can combine linearly and key-switch
+    once (see gates.mux).
+    """
+    acc = blind_rotate(ct, ck.testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
+    return sample_extract(acc, 0)
+
+
+def bootstrap_with_testvec(ct: jax.Array, testvec: jax.Array, ck: CloudKey) -> jax.Array:
+    """Programmable bootstrap against a caller-supplied test vector.
+
+    testvec: uint32 [2, N] or [B, 2, N]. Reference: trgsw.rs:242-274 +
+    bootstrap/lut.rs:79-99.
+    """
+    acc = blind_rotate(ct, testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
+    lv1 = sample_extract(acc, 0)
+    return identity_key_switch(lv1, ck.ksk_limbs, ck.params)
+
+
+class VanillaBootstrap:
+    """Standard TFHE bootstrapping (reference bootstrap/vanilla.rs)."""
+
+    name = "vanilla"
+
+    def bootstrap(self, ct, ck):
+        return bootstrap(ct, ck)
+
+    def bootstrap_without_key_switch(self, ct, ck):
+        return bootstrap_without_key_switch(ct, ck)
+
+
+class LutBootstrap:
+    """Programmable bootstrapping strategy (reference bootstrap/lut.rs)."""
+
+    name = "lut"
+
+    def bootstrap_func(self, ct, f, message_modulus: int, ck: CloudKey):
+        from .lut.generator import Generator
+
+        lut = Generator(message_modulus, ck.params).generate_lookup_table(f)
+        return self.bootstrap_lut(ct, lut, ck)
+
+    def bootstrap_lut(self, ct, lut, ck: CloudKey):
+        return bootstrap_with_testvec(ct, lut.poly, ck)
+
+    def bootstrap(self, ct, ck):
+        # identity function over the boolean message space (lut.rs:109-112)
+        return self.bootstrap_func(ct, lambda x: x, 2, ck)
+
+    def bootstrap_without_key_switch(self, ct, ck):
+        # the LUT strategy always key-switches (lut.rs:114-121)
+        return self.bootstrap(ct, ck)
+
+
+def default_bootstrap() -> VanillaBootstrap:
+    """Reference: bootstrap/mod.rs:41-43."""
+    return VanillaBootstrap()

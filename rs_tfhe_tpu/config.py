@@ -1,0 +1,33 @@
+"""Global backend configuration.
+
+Environment overrides:
+  RS_TFHE_DOT_IMPL = int8 | bf16     (default int8)
+  RS_TFHE_BSK_MODE = onthefly | precomputed   (default onthefly)
+
+`dot_impl` selects how the exact limb contractions hit the MXU:
+  - "int8": s8 x s8 -> s32 `lax.dot_general` (native on TPU v5+; 2x bf16 rate).
+  - "bf16": bf16 x bf16 -> f32 with the contraction chunked to <= 1024 so every
+    partial sum stays within float32's exact-integer range (see torus.py).
+
+`bsk_mode` selects how blind rotation obtains its per-step negacyclic
+circulant matrices:
+  - "onthefly": built inside the scan from the 2L*2 bootstrapping-key
+    polynomials of the current step (memory-light; BSK stays a few MB).
+  - "precomputed": all n0 step matrices materialized once at CloudKey
+    preparation (fast streaming from HBM, ~35 GB at SECURITY_128_BIT —
+    only for large-memory chips/hosts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass
+class Config:
+    dot_impl: str = os.environ.get("RS_TFHE_DOT_IMPL", "int8")
+    bsk_mode: str = os.environ.get("RS_TFHE_BSK_MODE", "onthefly")
+
+
+config = Config()

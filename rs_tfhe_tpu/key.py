@@ -1,0 +1,138 @@
+"""Secret and cloud (evaluation) keys as JAX pytrees.
+
+Reference: rs-tfhe key.rs. Differences by design:
+  - keys are immutable pytrees, usable directly as jitted-function arguments
+    (params ride along as static metadata);
+  - the key-switching key is stored pre-limb-split for the one-hot MXU
+    contraction (ops/keyswitch.py);
+  - the bootstrapping key is stored as coefficient polynomials (a few MB) and
+    optionally pre-expanded to per-step circulant matmul operands — the TPU
+    analogue of the reference's precomputed TRGSWLv1FFT (key.rs:19,124-156);
+  - generation is deterministic from an explicit jax.random key (the
+    reference uses thread_rng, key.rs:34).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .ops.poly import build_step_matrix
+from .params import TORUS_BITS, TfheParams
+from .tlwe import lwe_encrypt_torus
+from .torus import f64_to_torus, split_u32_limbs
+from .trgsw import trgsw_encrypt_torus
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SecretKey:
+    """Binary secret keys (reference key.rs:21-48)."""
+
+    lv0: jax.Array  # uint32 [n0], values in {0, 1}
+    lv1: jax.Array  # uint32 [N], values in {0, 1}
+    params: TfheParams = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def generate(key: jax.Array, params: TfheParams) -> "SecretKey":
+        k0, k1 = jax.random.split(key)
+        lv0 = jax.random.bernoulli(k0, 0.5, (params.n0,)).astype(jnp.uint32)
+        lv1 = jax.random.bernoulli(k1, 0.5, (params.n1,)).astype(jnp.uint32)
+        return SecretKey(lv0=lv0, lv1=lv1, params=params)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CloudKey:
+    """Evaluation key bundle (reference key.rs:51-75)."""
+
+    testvec: jax.Array  # uint32 [2, N]
+    ksk_limbs: jax.Array  # int8 [N*IKS_T*BASE, (n0+1)*4]
+    bsk: jax.Array  # uint32 [n0, 2L, 2, N]
+    bsk_prepared: Optional[jax.Array]  # int8 [n0, 2L*N, 2*4*N] or None
+    params: TfheParams = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def precomputed(self) -> bool:
+        return self.bsk_prepared is not None
+
+    @property
+    def blind_rotate_bsk(self) -> jax.Array:
+        return self.bsk_prepared if self.precomputed else self.bsk
+
+    @staticmethod
+    def generate(
+        key: jax.Array, sk: SecretKey, precompute_circulants: bool = False
+    ) -> "CloudKey":
+        params = sk.params
+        k_ksk, k_bsk = jax.random.split(key)
+        ksk_limbs = gen_key_switching_key(k_ksk, sk)
+        bsk = gen_bootstrapping_key(k_bsk, sk)
+        prepared = prepare_bsk(bsk) if precompute_circulants else None
+        return CloudKey(
+            testvec=gen_testvec(params),
+            ksk_limbs=ksk_limbs,
+            bsk=bsk,
+            bsk_prepared=prepared,
+            params=params,
+        )
+
+
+def gen_testvec(params: TfheParams) -> jax.Array:
+    """Constant test vector: a = 0, b[i] = 1/8 (reference key.rs:91-100)."""
+    n = params.n1
+    b = jnp.full((n,), jnp.uint32(int(f64_to_torus(0.125))))
+    return jnp.stack([jnp.zeros((n,), jnp.uint32), b])
+
+
+def gen_key_switching_key(key: jax.Array, sk: SecretKey) -> jax.Array:
+    """KSK rows encrypt k * s1[i] / 2^((j+1)*basebit) under s0.
+
+    Reference: key.rs:102-122. The plaintexts are the exact integers
+    (k*s1[i]) << (32 - (j+1)*basebit); rows with k = 0 are zeroed (the
+    reference never writes them), so one-hot selection of k=0 is a no-op.
+    Returns the limb-split int8 matrix consumed by ops/keyswitch.py.
+    """
+    params = sk.params
+    g = params.trgsw_lv1
+    n1, t, base, bb = params.n1, g.iks_t, params.ks_base, g.basebit
+
+    ks = jnp.arange(base, dtype=jnp.uint32)  # [base]
+    shifts = jnp.asarray(
+        [TORUS_BITS - (j + 1) * bb for j in range(t)], dtype=jnp.uint32
+    )  # [t]
+    # mu[i, j, k] = (k * s1[i]) << shift_j
+    mu = (ks[None, None, :] * sk.lv1[:, None, None]) << shifts[None, :, None]
+    mu_flat = mu.reshape(n1 * t * base)
+
+    rows = lwe_encrypt_torus(key, sk.lv0, mu_flat, params.ksk_alpha)
+    # zero the k == 0 rows (reference skips them: key.rs:109-111)
+    k_idx = jnp.tile(jnp.arange(base), n1 * t)
+    rows = jnp.where((k_idx == 0)[:, None], jnp.uint32(0), rows)
+
+    limbs = split_u32_limbs(rows)  # [rows, n0+1, 4]
+    return limbs.reshape(rows.shape[0], rows.shape[1] * 4)
+
+
+def gen_bootstrapping_key(key: jax.Array, sk: SecretKey) -> jax.Array:
+    """TRGSW-encrypt each bit of s0 under s1 (reference key.rs:124-156).
+
+    The reference fans this out over a rayon pool with thread-local FFT plans;
+    here the n0 encryptions are one batched tensor op.
+    """
+    params = sk.params
+    return trgsw_encrypt_torus(key, sk.lv1, sk.lv0, params.bsk_alpha, params)
+
+
+def prepare_bsk(bsk: jax.Array) -> jax.Array:
+    """Expand BSK coefficient polys to per-step circulant matmul operands.
+
+    The TPU analogue of the reference's frequency-domain BSK precompute
+    (TRGSWLv1FFT, trgsw.rs:52-75): here the 'transform domain' is the
+    limb-split negacyclic circulant layout the MXU consumes directly.
+    ~35 GB at SECURITY_128_BIT — use only on large-memory devices.
+    """
+    return jax.lax.map(build_step_matrix, bsk)

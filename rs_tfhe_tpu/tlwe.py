@@ -1,0 +1,108 @@
+"""(T)LWE ciphertexts over the discretized torus, batch-first.
+
+A batch of LWE ciphertexts is a uint32 array [..., n+1]: the first n columns
+are the mask `a`, the last column the body `b` (reference tlwe.rs:11-14).
+The same functions serve lv0 (n = n0) and lv1 (n = N) by passing the matching
+secret-key vector. All homomorphic operators are plain wrapping uint32
+arithmetic on whole batches.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .torus import TORUS_DTYPE, f64_to_torus, gaussian_torus, uniform_torus
+
+
+def lwe_encrypt_torus(
+    key: jax.Array, s: jax.Array, mu: jax.Array, alpha: float
+) -> jax.Array:
+    """Encrypt torus messages under binary secret s.
+
+    key: jax PRNG key; s: uint32 [n] in {0,1}; mu: uint32 [...]; returns
+    uint32 [..., n+1]. Reference: tlwe.rs:37-53 (b = mu + noise + <a, s>).
+    """
+    n = s.shape[0]
+    k_mask, k_noise = jax.random.split(key)
+    a = uniform_torus(k_mask, (*mu.shape, n))
+    noise = gaussian_torus(k_noise, alpha, mu.shape)
+    b = mu + noise + jnp.sum(a * s, axis=-1, dtype=TORUS_DTYPE)
+    return jnp.concatenate([a, b[..., None]], axis=-1)
+
+
+def lwe_encrypt_bool(
+    key: jax.Array, s: jax.Array, msg: jax.Array, alpha: float
+) -> jax.Array:
+    """Boolean +/- 1/8 encoding (reference tlwe.rs:55-58)."""
+    mu_true = jnp.uint32(int(f64_to_torus(0.125)))
+    mu_false = jnp.uint32(int(f64_to_torus(-0.125)))
+    mu = jnp.where(jnp.asarray(msg), mu_true, mu_false)
+    return lwe_encrypt_torus(key, s, mu, alpha)
+
+
+def lwe_phase(ct: jax.Array, s: jax.Array) -> jax.Array:
+    """b - <a, s> (mod 2^32), uint32 [...]."""
+    return ct[..., -1] - jnp.sum(ct[..., :-1] * s, axis=-1, dtype=TORUS_DTYPE)
+
+
+def lwe_decrypt_bool(ct: jax.Array, s: jax.Array) -> jax.Array:
+    """Sign test on the phase (reference tlwe.rs:60-68)."""
+    return jax.lax.bitcast_convert_type(lwe_phase(ct, s), jnp.int32) >= 0
+
+
+def lwe_encrypt_message(
+    key: jax.Array,
+    s: jax.Array,
+    msg: jax.Array,
+    message_modulus: int,
+    alpha: float,
+) -> jax.Array:
+    """LWE message encoding msg/(2*modulus) for programmable bootstrapping.
+
+    Reference: tlwe.rs:84-98.
+    """
+    msg = jnp.mod(jnp.asarray(msg), message_modulus)
+    scale_t = np.uint32(f64_to_torus(1.0 / (2.0 * message_modulus)))
+    mu = msg.astype(TORUS_DTYPE) * scale_t
+    return lwe_encrypt_torus(key, s, mu, alpha)
+
+
+def lwe_decrypt_message(ct: jax.Array, s: jax.Array, message_modulus: int):
+    """Round the phase to the nearest message (reference tlwe.rs:111-126)."""
+    phase = np.asarray(jax.device_get(lwe_phase(ct, s)), dtype=np.uint32)
+    res_f64 = phase.astype(np.float64) / float(1 << 32)
+    scale = 1.0 / (2.0 * message_modulus)
+    return (res_f64 / scale + 0.5).astype(np.int64) % message_modulus
+
+
+# ---------------------------------------------------------------------------
+# Homomorphic linear operators (reference tlwe.rs:129-214)
+# ---------------------------------------------------------------------------
+
+def lwe_add(x, y):
+    return x + y
+
+
+def lwe_sub(x, y):
+    return x - y
+
+
+def lwe_neg(x):
+    return jnp.zeros_like(x) - x
+
+
+def lwe_add_mul(x, y, multiplier: int):
+    """x + multiplier*y (reference AddMul, tlwe.rs:185-195)."""
+    return x + y * jnp.uint32(multiplier)
+
+
+def lwe_sub_mul(x, y, multiplier: int):
+    """x - multiplier*y (reference SubMul, tlwe.rs:204-214)."""
+    return x - y * jnp.uint32(multiplier)
+
+
+def lwe_add_bias(ct, bias: int):
+    """Add a constant torus bias to the body column."""
+    return ct.at[..., -1].add(jnp.uint32(bias))

@@ -1,0 +1,55 @@
+"""Test configuration: force CPU with a virtual 8-device mesh.
+
+Must run before jax initializes, so this sits at the top of conftest.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from rs_tfhe_tpu import params as P  # noqa: E402
+from rs_tfhe_tpu.key import CloudKey, SecretKey  # noqa: E402
+
+#: Canonical batch size used across tests to minimize recompilation.
+BATCH = 8
+
+
+@pytest.fixture(scope="session")
+def tiny():
+    return P.TEST_TINY
+
+
+@pytest.fixture(scope="session")
+def sk(tiny):
+    return SecretKey.generate(jax.random.key(42), tiny)
+
+
+@pytest.fixture(scope="session")
+def sk_dirty(tiny):
+    """Second, unrelated key ("key_dirty" in the reference tests)."""
+    return SecretKey.generate(jax.random.key(1337), tiny)
+
+
+@pytest.fixture(scope="session")
+def ck(sk):
+    return CloudKey.generate(jax.random.key(7), sk)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,63 @@
+"""TLWE round-trip and semantic-hiding tests (reference tlwe.rs:281-304)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rs_tfhe_tpu import tlwe
+
+TRIALS = 256
+
+
+def test_encrypt_decrypt_roundtrip(tiny, sk, sk_dirty, rng):
+    msgs = jnp.asarray(rng.integers(0, 2, TRIALS).astype(bool))
+    ct = tlwe.lwe_encrypt_bool(jax.random.key(0), sk.lv0, msgs, tiny.tlwe_lv0.alpha)
+    dec = tlwe.lwe_decrypt_bool(ct, sk.lv0)
+    assert bool(jnp.all(dec == msgs))
+    # wrong key decrypts ~50% ("key_dirty" check)
+    dec_dirty = np.asarray(tlwe.lwe_decrypt_bool(ct, sk_dirty.lv0))
+    frac = np.mean(dec_dirty != np.asarray(msgs))
+    assert 0.25 < frac < 0.75
+
+
+def test_lv1_roundtrip(tiny, sk, rng):
+    msgs = jnp.asarray(rng.integers(0, 2, TRIALS).astype(bool))
+    ct = tlwe.lwe_encrypt_bool(jax.random.key(1), sk.lv1, msgs, tiny.tlwe_lv1.alpha)
+    assert bool(jnp.all(tlwe.lwe_decrypt_bool(ct, sk.lv1) == msgs))
+
+
+def test_linear_operators(tiny, sk, rng):
+    """Homomorphic +, -, neg, add_mul, sub_mul preserve phases."""
+    m = jnp.asarray(rng.integers(0, 2, 32).astype(bool))
+    a = tlwe.lwe_encrypt_bool(jax.random.key(2), sk.lv0, m, tiny.tlwe_lv0.alpha)
+    b = tlwe.lwe_encrypt_bool(jax.random.key(3), sk.lv0, ~m, tiny.tlwe_lv0.alpha)
+    pa = tlwe.lwe_phase(a, sk.lv0)
+    pb = tlwe.lwe_phase(b, sk.lv0)
+    assert bool(jnp.all(tlwe.lwe_phase(tlwe.lwe_add(a, b), sk.lv0) == pa + pb))
+    assert bool(jnp.all(tlwe.lwe_phase(tlwe.lwe_sub(a, b), sk.lv0) == pa - pb))
+    assert bool(
+        jnp.all(tlwe.lwe_phase(tlwe.lwe_neg(a), sk.lv0) == jnp.zeros_like(pa) - pa)
+    )
+    assert bool(
+        jnp.all(
+            tlwe.lwe_phase(tlwe.lwe_add_mul(a, b, 2), sk.lv0)
+            == pa + pb * jnp.uint32(2)
+        )
+    )
+    assert bool(
+        jnp.all(
+            tlwe.lwe_phase(tlwe.lwe_sub_mul(a, b, 2), sk.lv0)
+            == pa - pb * jnp.uint32(2)
+        )
+    )
+
+
+def test_lwe_message_roundtrip(tiny, sk, rng):
+    """Multi-bit LWE message encoding (reference tlwe.rs:84-126)."""
+    modulus = 8
+    msgs = jnp.asarray(rng.integers(0, modulus, 64))
+    ct = tlwe.lwe_encrypt_message(
+        jax.random.key(4), sk.lv0, msgs, modulus, tiny.tlwe_lv0.alpha
+    )
+    dec = tlwe.lwe_decrypt_message(ct, sk.lv0, modulus)
+    assert np.array_equal(dec, np.asarray(msgs))
