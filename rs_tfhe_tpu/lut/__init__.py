@@ -1,0 +1,5 @@
+"""Programmable (LUT) bootstrapping components (reference src/lut/)."""
+
+from .encoder import Encoder  # noqa: F401
+from .generator import Generator, div_round  # noqa: F401
+from .lookup_table import LookupTable  # noqa: F401
