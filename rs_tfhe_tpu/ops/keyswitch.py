@@ -22,21 +22,20 @@ from ..torus import recombine_limb_products
 from .poly import exact_dot_i8
 
 
-def digit_select_subtract(
+def digit_select_sum(
     a: jax.Array,
-    body: jax.Array,
     table_limbs: jax.Array,
     t: int,
     basebit: int,
     out_width: int,
 ) -> jax.Array:
-    """Core of decomposition-based key switching / re-encryption.
+    """Sum of the table rows selected by the digits of `a` (uint32, exact).
 
     a:           uint32 [..., n_in] mask coefficients to decompose
-    body:        uint32 [...] body of the source ciphertext
     table_limbs: int8 [n_in * t * 2^basebit, out_width * 4]
-    Returns uint32 [..., out_width]:
-        (0, ..., 0, body) - sum over selected table rows.
+    Returns uint32 [..., out_width]. Exposed separately so tensor-parallel
+    key switching can `psum` partial sums over a sharded table
+    (parallel/sharded.py).
     """
     base = 1 << basebit
     n_in = a.shape[-1]
@@ -55,8 +54,23 @@ def digit_select_subtract(
 
     acc = exact_dot_i8(lhs, table_limbs)  # [..., out_width*4] int32
     acc = acc.reshape(*acc.shape[:-1], out_width, 4)[..., None, :]
-    subtrahend = recombine_limb_products(acc)  # [..., out_width] uint32
+    return recombine_limb_products(acc)  # [..., out_width] uint32
 
+
+def digit_select_subtract(
+    a: jax.Array,
+    body: jax.Array,
+    table_limbs: jax.Array,
+    t: int,
+    basebit: int,
+    out_width: int,
+) -> jax.Array:
+    """Core of decomposition-based key switching / re-encryption.
+
+    Returns uint32 [..., out_width]:
+        (0, ..., 0, body) - sum over selected table rows.
+    """
+    subtrahend = digit_select_sum(a, table_limbs, t, basebit, out_width)
     res = jnp.zeros((*a.shape[:-1], out_width), dtype=jnp.uint32)
     res = res.at[..., out_width - 1].set(body)
     return res - subtrahend

@@ -1,0 +1,172 @@
+"""Multi-chip bootstrapped gate evaluation: data- and tensor-parallel.
+
+Two strategies (composable on a 2-D ``(batch, model)`` mesh):
+
+**Data parallel (the production path).** Independent ciphertexts never
+communicate — the multi-chip analogue of the reference's
+``batch_blind_rotate_with_railgun`` (rs-tfhe trgsw.rs:289-305). The batch axis
+is sharded, every key replicated; under ``jit`` with input shardings XLA emits
+zero collectives and each chip runs its own slice of the fused bootstrap scan.
+
+**Tensor parallel (scale *within* one bootstrap).** For latency-bound small
+batches, the two heavy contractions inside a bootstrap are sharded over the
+``model`` axis with one ``psum`` each:
+
+  - external product: the TRGSW row axis (2L gadget rows) of the BSK is
+    sharded; each chip contracts its rows against the matching slice of the
+    decomposed digits, then ``psum`` reconstitutes the CMUX delta
+    (reference loop: trgsw.rs:103-105);
+  - key switching: the lv1-coefficient axis (N rows of the KSK table) is
+    sharded; partial subtracted sums are ``psum``-reduced
+    (reference loop: trgsw.rs:347-356).
+
+Both collectives ride ICI; nothing ever gathers full keys to one chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..bootstrap import bootstrap as _bootstrap
+from ..gates import _LINEAR_FORMS
+from ..key import CloudKey
+from ..ops.blind_rotate import modswitch
+from ..ops.decompose import gadget_decompose
+from ..ops.extract import sample_extract
+from ..ops.keyswitch import digit_select_sum
+from ..ops.poly import build_step_matrix, monomial_rotate, polymul_small_by_torus_multi
+from .mesh import BATCH_AXIS, MODEL_AXIS, batch_spec, pad_to_multiple, replicate, shard_batch
+
+# ---------------------------------------------------------------------------
+# Data-parallel path: jit + shardings, zero collectives
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("name",))
+def _dp_gate(name: str, a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
+    return _bootstrap(_LINEAR_FORMS[name](a, b), ck)
+
+
+def data_parallel_gate(
+    name: str, a: jax.Array, b: jax.Array, ck: CloudKey, mesh: Mesh
+) -> jax.Array:
+    """Evaluate one gate over a batch sharded across the mesh's batch axis.
+
+    a, b: uint32 [B, n0+1]. B is padded up to a multiple of the batch-axis
+    size; the pad rows are dropped from the result.
+    """
+    n_batch = mesh.shape[BATCH_AXIS]
+    a_pad, size = pad_to_multiple(a, n_batch)
+    b_pad, _ = pad_to_multiple(b, n_batch)
+    a_sh = shard_batch(a_pad, mesh)
+    b_sh = shard_batch(b_pad, mesh)
+    ck_rep = replicate(ck, mesh)
+    return _dp_gate(name, a_sh, b_sh, ck_rep)[:size]
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel bootstrap (shard_map over (batch, model))
+# ---------------------------------------------------------------------------
+
+
+def _tp_blind_rotate(ct, testvec, bsk_local, params, tp: int):
+    """Blind rotation with the BSK's 2L gadget-row axis sharded over `model`.
+
+    ct: uint32 [B_loc, n0+1]; bsk_local: uint32 [n0, 2L/tp, 2, N].
+    Mirrors ops/blind_rotate.blind_rotate with a psum'd CMUX delta.
+    """
+    g = params.trgsw_lv1
+    n0, n1 = params.n0, params.n1
+    batch = ct.shape[0]
+    rows_local = (2 * g.l) // tp
+    row0 = jax.lax.axis_index(MODEL_AXIS) * rows_local
+
+    b_til = (2 * n1 - modswitch(ct[:, n0], params)) % (2 * n1)
+    a_til = modswitch(ct[:, :n0], params)
+
+    tv = jnp.broadcast_to(testvec, (batch, 2, n1))
+    acc0 = monomial_rotate(tv, b_til[:, None])
+
+    def step(acc, xs):
+        bsk_i, a_i = xs
+        rot = monomial_rotate(acc, a_i[:, None])
+        digits = gadget_decompose(rot - acc, params)  # [B, 2L, N]
+        d_local = jax.lax.dynamic_slice_in_dim(digits, row0, rows_local, axis=-2)
+        mat = build_step_matrix(bsk_i)  # local rows only
+        delta = polymul_small_by_torus_multi(d_local, mat, params.digit_limbs, 2)
+        delta = jax.lax.psum(delta, MODEL_AXIS)
+        return acc + delta, None
+
+    acc, _ = jax.lax.scan(step, acc0, (bsk_local, a_til.T))
+    return acc
+
+
+def _tp_key_switch(lv1, ksk_local, params, tp: int):
+    """Key switch lv1->lv0 with the KSK's N-coefficient axis sharded.
+
+    lv1: uint32 [B_loc, N+1]; ksk_local: int8 [(N/tp)*t*base, (n0+1)*4].
+    """
+    g = params.trgsw_lv1
+    n1, out_w = params.n1, params.n0 + 1
+    cols_local = n1 // tp
+    col0 = jax.lax.axis_index(MODEL_AXIS) * cols_local
+
+    a_local = jax.lax.dynamic_slice_in_dim(lv1[..., :n1], col0, cols_local, axis=-1)
+    ksk_flat = ksk_local.reshape(-1, ksk_local.shape[-1])  # [(N/tp)*t*base, out*4]
+    partial_sum = digit_select_sum(a_local, ksk_flat, g.iks_t, g.basebit, out_w)
+    subtrahend = jax.lax.psum(partial_sum, MODEL_AXIS)
+
+    res = jnp.zeros((*lv1.shape[:-1], out_w), dtype=jnp.uint32)
+    res = res.at[..., -1].set(lv1[..., n1])
+    return res - subtrahend
+
+
+def tensor_parallel_bootstrap(ct: jax.Array, ck: CloudKey, mesh: Mesh) -> jax.Array:
+    """Full gate bootstrap with batch sharded over `batch` and both key
+    contractions sharded over `model`. ct: uint32 [B, n0+1] (B divisible by
+    the batch-axis size; 2L and N divisible by the model-axis size)."""
+    params = ck.params
+    tp = mesh.shape[MODEL_AXIS]
+    g = params.trgsw_lv1
+    if (2 * g.l) % tp or params.n1 % tp:
+        raise ValueError(f"tp={tp} must divide 2L={2 * g.l} and N={params.n1}")
+
+    def fn(ct_l, testvec, bsk_l, ksk_l):
+        acc = _tp_blind_rotate(ct_l, testvec, bsk_l, params, tp)
+        lv1 = sample_extract(acc, 0)
+        return _tp_key_switch(lv1, ksk_l, params, tp)
+
+    # KSK rows group as [N, t*base, cols]: shard the leading N-block axis.
+    t_base = g.iks_t * (1 << g.basebit)
+    ksk_blocked = ck.ksk_limbs.reshape(params.n1, t_base, -1)
+
+    mapped = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(
+            batch_spec(2),  # ct: [B, n0+1] over batch
+            P(),  # testvec replicated
+            P(None, MODEL_AXIS, None, None),  # bsk: 2L rows over model
+            P(MODEL_AXIS, None, None),  # ksk: N blocks over model
+        ),
+        out_specs=batch_spec(2),
+    )
+
+    out = mapped(ct, ck.testvec, ck.bsk, ksk_blocked)
+    return out
+
+
+@partial(jax.jit, static_argnames=("name", "mesh"))
+def _tp_gate(name: str, a, b, ck: CloudKey, mesh: Mesh):
+    lin = _LINEAR_FORMS[name](a, b)
+    return tensor_parallel_bootstrap(lin, ck, mesh)
+
+
+def tensor_parallel_gate(name, a, b, ck: CloudKey, mesh: Mesh):
+    """Gate evaluation on the (batch, model) mesh: linear form then TP
+    bootstrap. a, b: uint32 [B, n0+1] with B divisible by the batch size."""
+    return _tp_gate(name, a, b, ck, mesh)

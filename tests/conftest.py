@@ -5,7 +5,11 @@ Must run before jax initializes, so this sits at the top of conftest.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins a TPU platform (e.g.
+# JAX_PLATFORMS=axon, which overrides the env var at plugin registration):
+# unit tests validate math and sharding on a virtual 8-device CPU mesh; TPU
+# execution is covered by bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +17,8 @@ if "host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
