@@ -37,7 +37,7 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
-    batch = int(os.environ.get("RS_TFHE_BENCH_BATCH", "64"))
+    batch = int(os.environ.get("RS_TFHE_BENCH_BATCH", "2048"))
     iters = int(os.environ.get("RS_TFHE_BENCH_ITERS", "5"))
     pname = os.environ.get("RS_TFHE_BENCH_PARAMS", "SECURITY_128_BIT")
     params = ALL_SECURITY_SETS[pname]
@@ -65,15 +65,18 @@ def main() -> None:
     correct = (dec == ~(bits_a & bits_b)).mean()
     log(f"correctness: {correct:.4f}")
 
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(batch_gate("nand", a, b, ck))
-        times.append(time.perf_counter() - t0)
-        log(f"iter {i}: {times[-1] * 1e3:.1f} ms ({batch / times[-1]:.1f} gates/s)")
-
-    best = min(times)
-    gates_per_sec = batch / best
+    # Chain iterations (each gate consumes the previous output) and force one
+    # host read at the end: robust against async-dispatch quirks and any
+    # same-input result caching in the device tunnel.
+    t0 = time.perf_counter()
+    cur = a
+    for _ in range(iters):
+        cur = batch_gate("nand", cur, b, ck)
+    _ = np.asarray(jax.device_get(cur[0, -1]))
+    elapsed = time.perf_counter() - t0
+    per_iter = elapsed / iters
+    log(f"{iters} chained iters: {per_iter * 1e3:.1f} ms each")
+    gates_per_sec = batch / per_iter
 
     result = {
         "metric": "gate_bootstraps_per_sec",

@@ -79,23 +79,40 @@ def negacyclic_extend(t: jax.Array) -> jax.Array:
     return jnp.concatenate([t, neg_torus(t)], axis=-1)
 
 
-def _circulant_index(n: int) -> np.ndarray:
-    """Static index matrix I[m, c] = (c - m) mod 2N, so that
-    C[m, c] = t_ext[I[m, c]] is the negacyclic circulant of t."""
-    m = np.arange(n)[:, None]
-    c = np.arange(n)[None, :]
-    return ((c - m) % (2 * n)).astype(np.int32)
+def _roll_block(x: jax.Array, blk: int) -> jax.Array:
+    """W[..., mi, c] = x[..., (c - mi) mod 2N] for mi in [0, blk).
 
-
-def circulant_limbs(t: jax.Array) -> jax.Array:
-    """Build int8 circulant limb matrices from torus polynomials.
-
-    t: uint32 [..., N]  ->  int8 [..., N(m), N(n), 4(limb)].
+    Log-doubling construction: blk rows of the circulant of x built with
+    log2(blk) (concat, static-roll) pairs — every op is an aligned vectorized
+    copy. No gathers, no misaligned reshapes (both killed TPU throughput:
+    9.1 s and 2.4 s per 64-batch bootstrap respectively in earlier designs).
     """
-    n = t.shape[-1]
-    ext = split_u32_limbs(negacyclic_extend(t))  # [..., 2N, 4]
-    idx = jnp.asarray(_circulant_index(n))
-    return ext[..., idx, :]
+    w = x[..., None, :]
+    k = 1
+    while k < blk:
+        w = jnp.concatenate([w, jnp.roll(w, k, axis=-1)], axis=-2)
+        k *= 2
+    return w
+
+
+def circulant_rows(x: jax.Array, n: int) -> jax.Array:
+    """Gather-free circulant: C[..., m, c] = x[..., (c - m) mod 2N].
+
+    x: [..., 2N] -> [..., N, N], built as n/blk row-blocks of a blk-row
+    mini-circulant, each block an aligned static slice of its doubling.
+    """
+    two_n = x.shape[-1]
+    assert two_n == 2 * n
+    blk = min(128, n)
+    assert n % blk == 0
+    w = _roll_block(x, blk)  # [..., blk, 2N]
+    w2 = jnp.concatenate([w, w], axis=-1)  # [..., blk, 4N]
+    parts = [
+        jax.lax.slice_in_dim(w2, two_n - blk * u, two_n - blk * u + n, axis=-1)
+        for u in range(n // blk)
+    ]
+    c = jnp.stack(parts, axis=-3)  # [..., n/blk, blk, N]
+    return c.reshape(*x.shape[:-1], n, n)
 
 
 # ---------------------------------------------------------------------------
@@ -109,28 +126,29 @@ def polymul_small_by_torus(d: jax.Array, t: jax.Array, d_limbs: int) -> jax.Arra
     t: uint32 [J, N]      (shared across the batch, e.g. TRGSW rows)
     Returns uint32 [..., N] = sum_j d_j * t_j  (negacyclic, mod 2^32).
     """
-    j, n = t.shape
-    rhs = circulant_limbs(t)  # [J, N, N, 4]
-    rhs = rhs.transpose(0, 1, 3, 2).reshape(j * n, 4 * n)  # [(J,m), (q,n)]
-    lhs = split_digit_limbs(d, d_limbs)  # [..., J, N, dk]
-    lhs = jnp.moveaxis(lhs, -1, -3).reshape(*d.shape[:-2], d_limbs, j * n)
-    out = exact_dot_i8(lhs, rhs)  # [..., dk, 4*N] int32
-    out = out.reshape(*out.shape[:-1], 4, n)  # [..., dk, q, n]
-    out = jnp.moveaxis(out, -1, -3)  # [..., n, dk, q]
-    return recombine_limb_products(out)
+    rhs = build_step_matrix(t[:, None, :])  # [1, 4, J*N, N]
+    return polymul_small_by_torus_multi(d, rhs, d_limbs, 1)[..., 0, :]
 
 
 def build_step_matrix(t: jax.Array) -> jax.Array:
     """Build the exact-convolution matmul operand for a set of torus polys.
 
     t: uint32 [J, O, N] (e.g. one bootstrapping-key step: J = 2L gadget rows,
-    O = 2 output polys a/b). Returns int8 [J*N, O*4*N]: the limb-split
-    negacyclic circulants laid out so that a single contraction over (j, m)
-    produces all (o, limb q, n) outputs.
+    O = 2 output polys a/b). Returns int8 [O, 4, J*N, N]: per (output poly o,
+    torus limb q), the stacked negacyclic circulants of the J polys, laid out
+    so one (o, q)-batched contraction over (j, m) produces all outputs.
+
+    The layout is chosen so the whole build is aligned copies: the limb axis
+    is moved *before* the circulant expansion (tiny transpose on [J,O,2N,4]),
+    and the circulant rows come from _roll_block doublings — so nothing ever
+    transposes or gathers the 50 MB expanded operand.
     """
     j, o, n = t.shape
-    c = circulant_limbs(t)  # [J, O, N(m), N(n), 4(q)]
-    return c.transpose(0, 2, 1, 4, 3).reshape(j * n, o * 4 * n)
+    x = negacyclic_extend(t)  # [J, O, 2N] uint32
+    xl = split_u32_limbs(x)  # [J, O, 2N, 4] int8
+    xl = xl.transpose(1, 3, 0, 2)  # [O, 4, J, 2N]
+    c = circulant_rows(xl, n)  # [O, 4, J, N, N]
+    return c.reshape(o, 4, j * n, n)
 
 
 def polymul_small_by_torus_multi(
@@ -138,19 +156,42 @@ def polymul_small_by_torus_multi(
 ) -> jax.Array:
     """out[..., o, n] = sum_j d[..., j, :] (*) t[j, o, :]  (negacyclic, exact).
 
-    d: int32 [..., J, N]; step_matrix: int8 [J*N, O*4*N] from
+    d: int32 [..., J, N]; step_matrix: int8 [O, 4, J*N, N] from
     build_step_matrix. This is the external-product core (reference
-    trgsw.rs:77-116) recast as one MXU contraction.
+    trgsw.rs:77-116) recast as one (o, limb)-batched MXU contraction.
     """
-    jn = step_matrix.shape[0]
-    n = step_matrix.shape[1] // (num_out * 4)
+    o, q4, jn, n = step_matrix.shape
+    assert o == num_out
+    batch_shape = d.shape[:-2]
     lhs = split_digit_limbs(d, d_limbs)  # [..., J, N, dk]
-    lhs = jnp.moveaxis(lhs, -1, -3).reshape(*d.shape[:-2], d_limbs, jn)
-    out = exact_dot_i8(lhs, step_matrix)  # [..., dk, O*4*N] int32
-    out = out.reshape(*out.shape[:-1], num_out, 4, n)  # [..., dk, o, q, n]
-    out = out.transpose(
-        *range(out.ndim - 4), out.ndim - 3, out.ndim - 1, out.ndim - 4, out.ndim - 2
-    )  # [..., o, n, dk, q]
+    lhs = jnp.moveaxis(lhs, -1, -3).reshape(-1, jn)  # [F = B*dk, J*N]
+    f = lhs.shape[0]
+    if config.dot_impl == "int8":
+        lhs_b = jnp.broadcast_to(lhs, (o, q4, f, jn))
+        out = jax.lax.dot_general(
+            lhs_b,
+            step_matrix,
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.int32,
+        )  # [O, 4, F, N] int32
+    else:
+        out = None
+        for start in range(0, jn, _BF16_CHUNK):
+            stop = min(start + _BF16_CHUNK, jn)
+            lhs_b = jnp.broadcast_to(
+                lhs[:, start:stop].astype(jnp.bfloat16), (o, q4, f, stop - start)
+            )
+            part = jax.lax.dot_general(
+                lhs_b,
+                step_matrix[..., start:stop, :].astype(jnp.bfloat16),
+                (((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            out = part if out is None else out + part
+    out = out.reshape(o, q4, *batch_shape, d_limbs, n)
+    nb = len(batch_shape)
+    perm = (*range(2, 2 + nb), 0, 3 + nb, 2 + nb, 1)
+    out = out.transpose(perm)  # [..., o, n, dk, q]
     return recombine_limb_products(out)
 
 
@@ -165,8 +206,7 @@ def polymul_torus_by_binary(a: jax.Array, s: jax.Array) -> jax.Array:
     ext = jnp.concatenate(
         [s.astype(jnp.int8), -s.astype(jnp.int8)], axis=-1
     )  # [2N]
-    idx = jnp.asarray(_circulant_index(n))
-    rhs = ext[idx]  # [N, N] int8; C[m, n'] = +/- s[...]
+    rhs = circulant_rows(ext, n)  # [N, N] int8; C[m, n'] = +/- s[...]
     lhs = split_u32_limbs(a)  # [..., N, 4]
     lhs = jnp.moveaxis(lhs, -1, -2)  # [..., 4, N]
     out = exact_dot_i8(lhs, rhs)  # [..., 4, N] int32  (|sum| <= N*128 < 2^24)
@@ -176,19 +216,37 @@ def polymul_torus_by_binary(a: jax.Array, s: jax.Array) -> jax.Array:
     return recombine_limb_products(out)
 
 
+def negacyclic_static_roll(t: jax.Array, s: int) -> jax.Array:
+    """X^s * t for a static s in [0, 2N): two slices + a negation."""
+    n = t.shape[-1]
+    s = s % (2 * n)
+    neg = s >= n
+    s = s % n
+    lo, hi = t[..., : n - s], t[..., n - s :]
+    rolled = jnp.concatenate([neg_torus(hi), lo], axis=-1) if s else t
+    return neg_torus(rolled) if neg else rolled
+
+
 def monomial_rotate(t: jax.Array, k: jax.Array) -> jax.Array:
     """Multiply polynomials by X^k in Z[X]/(X^N+1): out[n] = t_ext[(n-k) mod 2N].
 
     t: uint32 [..., N]; k: integer array broadcastable to t.shape[:-1]
     (values taken mod 2N). Reference: trgsw.rs:307-330 (exact negation used
     here instead of the reference's MAX-x; see torus.neg_torus).
+
+    Lowered as a log2(2N)-stage barrel rotator: stage i applies the static
+    negacyclic roll X^(2^i) under a per-batch select on bit i of k. Every
+    stage is aligned slices + an elementwise select — no gathers (a batched
+    row-gather here ran at ~3.6 GB/s and dominated the whole bootstrap).
     """
     n = t.shape[-1]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    idx = jnp.mod(pos - k[..., None].astype(jnp.int32), 2 * n)
-    wrap = idx >= n
-    vals = jnp.take_along_axis(t, jnp.where(wrap, idx - n, idx), axis=-1)
-    return jnp.where(wrap, neg_torus(vals), vals)
+    k_b = jnp.broadcast_to(jnp.asarray(k, dtype=jnp.int32), t.shape[:-1])
+    k_b = jnp.mod(k_b, 2 * n)[..., None]  # [..., 1]
+    out = t
+    for i in range(int(np.log2(2 * n))):
+        bit = (k_b >> i) & 1
+        out = jnp.where(bit == 1, negacyclic_static_roll(out, 1 << i), out)
+    return out
 
 
 # ---------------------------------------------------------------------------
