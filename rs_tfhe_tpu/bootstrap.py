@@ -15,37 +15,50 @@ from .ops.extract import sample_extract
 from .ops.keyswitch import identity_key_switch
 
 
+def _flat(ct: jax.Array):
+    """Collapse arbitrary leading batch dims to the single batch axis the
+    blind-rotation scan expects; returns (flat_ct, restore_fn)."""
+    lead = ct.shape[:-1]
+    flat = ct.reshape(-1, ct.shape[-1])
+    return flat, lambda out: out.reshape(*lead, out.shape[-1])
+
+
 def bootstrap(ct: jax.Array, ck: CloudKey) -> jax.Array:
     """Full gate bootstrap: blind rotate -> extract(0) -> key switch.
 
-    ct: uint32 [B, n0+1] -> uint32 [B, n0+1]. Reference: vanilla.rs:40-52.
+    ct: uint32 [..., n0+1] -> uint32 [..., n0+1]. Reference: vanilla.rs:40-52.
     """
-    acc = blind_rotate(ct, ck.testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
+    flat, restore = _flat(ct)
+    acc = blind_rotate(flat, ck.testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
     lv1 = sample_extract(acc, 0)
-    return identity_key_switch(lv1, ck.ksk_limbs, ck.params)
+    return restore(identity_key_switch(lv1, ck.ksk_limbs, ck.params))
 
 
 def bootstrap_without_key_switch(ct: jax.Array, ck: CloudKey) -> jax.Array:
-    """Blind rotate + extract, staying at lv1: uint32 [B, N+1].
+    """Blind rotate + extract, staying at lv1: uint32 [..., N+1].
 
     Deviation from the reference (vanilla.rs:54-63), which truncates the lv1
     mask to n0 coefficients producing an undecryptable "hybrid" ciphertext;
     we return the full lv1 LWE so callers can combine linearly and key-switch
     once (see gates.mux).
     """
-    acc = blind_rotate(ct, ck.testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
-    return sample_extract(acc, 0)
+    flat, restore = _flat(ct)
+    acc = blind_rotate(flat, ck.testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
+    return restore(sample_extract(acc, 0))
 
 
 def bootstrap_with_testvec(ct: jax.Array, testvec: jax.Array, ck: CloudKey) -> jax.Array:
     """Programmable bootstrap against a caller-supplied test vector.
 
-    testvec: uint32 [2, N] or [B, 2, N]. Reference: trgsw.rs:242-274 +
-    bootstrap/lut.rs:79-99.
+    ct: uint32 [..., n0+1]; testvec: uint32 [2, N] (shared) or [..., 2, N]
+    (per-ciphertext LUTs). Reference: trgsw.rs:242-274 + bootstrap/lut.rs:79-99.
     """
-    acc = blind_rotate(ct, testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
+    flat, restore = _flat(ct)
+    if testvec.ndim > 2:
+        testvec = testvec.reshape(-1, *testvec.shape[-2:])
+    acc = blind_rotate(flat, testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
     lv1 = sample_extract(acc, 0)
-    return identity_key_switch(lv1, ck.ksk_limbs, ck.params)
+    return restore(identity_key_switch(lv1, ck.ksk_limbs, ck.params))
 
 
 class VanillaBootstrap:

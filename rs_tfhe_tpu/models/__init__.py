@@ -1,0 +1,15 @@
+"""Homomorphic circuit and arithmetic models built on the gate/LUT layers."""
+
+from .arithmetic import (  # noqa: F401
+    add_radix,
+    apply_lut_radix,
+    decrypt_radix,
+    encrypt_radix,
+)
+from .circuits import (  # noqa: F401
+    add_kogge_stone,
+    add_ripple_carry,
+    equals,
+    greater_than,
+    sub,
+)

@@ -1,0 +1,144 @@
+"""Homomorphic boolean circuits over encrypted bit vectors.
+
+The framework analogue of the reference's example circuits
+(rs-tfhe examples/add_two_numbers.rs: a 16-bit ripple-carry adder evaluated
+gate by gate) — plus batch-first designs the reference cannot express: a
+Kogge-Stone adder whose every level runs ALL bit positions through one
+batched bootstrap, turning the O(W) serial gate chain into O(log W) batched
+gate rounds on the MXU.
+
+Encrypted integers are bit batches uint32 [..., W, n0+1], LSB first
+(bit_utils.py). All circuits accept arbitrary leading batch dims, so a batch
+of B additions of W-bit numbers is one [B, W]-shaped gate batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import gates
+from ..key import CloudKey
+
+
+def _shift_up(x: jax.Array, k: int, fill: jax.Array) -> jax.Array:
+    """Shift a bit-batch [..., W, n+1] towards the MSB by k positions,
+    filling vacated low bits with `fill` rows (e.g. trivial-false)."""
+    w = x.shape[-2]
+    pad = jnp.broadcast_to(fill, (*x.shape[:-2], k, x.shape[-1]))
+    return jnp.concatenate([pad, x[..., : w - k, :]], axis=-2)
+
+
+def add_kogge_stone(a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
+    """W-bit addition (mod 2^W) in 2 + 2*ceil(log2 W) batched gate rounds.
+
+    a, b: uint32 [..., W, n0+1] bit batches. Parallel-prefix carry network:
+      g = a AND b, p = a XOR b                       (2 batched gates)
+      for k in 1,2,4,...: g |= (p AND g>>k); p &= p>>k   (2 gates per level)
+      sum = p0 XOR (g << 1)                          (1 batched gate)
+    Every gate round bootstraps all W bit positions (and any outer batch)
+    together — the reference evaluates the same adder one gate at a time
+    (examples/add_two_numbers.rs:60-97).
+    """
+    w = a.shape[-2]
+    false_ct = gates.constant(False, 1, ck.params)[0]
+    true_ct = gates.constant(True, 1, ck.params)[0]
+
+    p0 = gates.xor(a, b, ck)  # propagate, kept for the final sum
+    g = gates.and_(a, b, ck)  # generate
+    p = p0
+    k = 1
+    while k < w:
+        g_k = _shift_up(g, k, false_ct)
+        p_k = _shift_up(p, k, true_ct)
+        # g = g OR (p AND g_k); p = p AND p_k
+        g = gates.or_(g, gates.and_(p, g_k, ck), ck)
+        p = gates.and_(p, p_k, ck)
+        k *= 2
+    carry_in = _shift_up(g, 1, false_ct)  # carry into each position
+    return gates.xor(p0, carry_in, ck)
+
+
+def add_ripple_carry(a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
+    """W-bit ripple-carry addition (mod 2^W): the reference's adder shape
+    (examples/add_two_numbers.rs:60-97), 5 gate-bootstraps per bit, serial
+    in the carry. Kept for parity/verification; prefer add_kogge_stone.
+    """
+    w = a.shape[-2]
+    carry = gates.constant(False, 1, ck.params)
+    carry = jnp.broadcast_to(carry[0], (*a.shape[:-2], a.shape[-1]))
+    outs = []
+    for i in range(w):
+        ai, bi = a[..., i, :], b[..., i, :]
+        axb = gates.xor(ai, bi, ck)
+        outs.append(gates.xor(axb, carry, ck))
+        if i + 1 < w:
+            # carry' = (a AND b) OR (carry AND (a XOR b)) == MUX(axb; carry; a AND b)
+            carry = gates.mux(axb, carry, gates.and_(ai, bi, ck), ck)
+    return jnp.stack(outs, axis=-2)
+
+
+def sub(a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
+    """W-bit subtraction a - b (mod 2^W): a + NOT(b) + 1 via Kogge-Stone with
+    the +1 folded in as an extra generate at bit 0."""
+    w = a.shape[-2]
+    nb = gates.not_(b)
+    false_ct = gates.constant(False, 1, ck.params)[0]
+    true_ct = gates.constant(True, 1, ck.params)[0]
+
+    p0 = gates.xor(a, nb, ck)
+    g = gates.and_(a, nb, ck)
+    # inject carry-in = 1 at bit 0: g0 |= p0[0], then sum bit 0 flips
+    g0 = gates.or_(g[..., :1, :], p0[..., :1, :], ck)
+    g = jnp.concatenate([g0, g[..., 1:, :]], axis=-2)
+    p = p0
+    k = 1
+    while k < w:
+        g_k = _shift_up(g, k, false_ct)
+        p_k = _shift_up(p, k, true_ct)
+        g = gates.or_(g, gates.and_(p, g_k, ck), ck)
+        p = gates.and_(p, p_k, ck)
+        k *= 2
+    carry_in = _shift_up(g, 1, false_ct)
+    carry_in = jnp.concatenate(
+        [jnp.broadcast_to(true_ct, carry_in[..., :1, :].shape), carry_in[..., 1:, :]],
+        axis=-2,
+    )
+    return gates.xor(p0, carry_in, ck)
+
+
+def equals(a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
+    """Encrypted equality of two W-bit integers -> one ciphertext [..., n0+1].
+
+    One batched XNOR over all bits, then a log-depth AND tree (each level one
+    batched gate). The reference only sketched this (src/circuits.rs, dead)."""
+    x = gates.xnor(a, b, ck)  # [..., W, n0+1]
+    true_ct = gates.constant(True, 1, ck.params)[0]
+    while x.shape[-2] > 1:
+        w = x.shape[-2]
+        half = (w + 1) // 2
+        lo = x[..., :half, :]
+        hi = x[..., half:, :]
+        if hi.shape[-2] < half:  # pad odd widths with trivial TRUE
+            pad = jnp.broadcast_to(
+                true_ct, (*hi.shape[:-2], half - hi.shape[-2], hi.shape[-1])
+            )
+            hi = jnp.concatenate([hi, pad], axis=-2)
+        x = gates.and_(lo, hi, ck)
+    return x[..., 0, :]
+
+
+def greater_than(a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
+    """Encrypted a > b (unsigned) -> one ciphertext [..., n0+1].
+
+    MSB-down MUX chain: result = MUX(a_i XNOR b_i, result_so_far, a_i AND
+    NOT b_i); serial depth W like the classic comparator circuit."""
+    w = a.shape[-2]
+    res = gates.constant(False, a.shape[0] if a.ndim > 2 else 1, ck.params)
+    res = jnp.broadcast_to(res[0], (*a.shape[:-2], a.shape[-1]))
+    for i in range(w):  # LSB -> MSB so the MSB decides last
+        ai, bi = a[..., i, :], b[..., i, :]
+        eq = gates.xnor(ai, bi, ck)
+        gt = gates.and_yn(ai, bi, ck)  # a AND (NOT b)
+        res = gates.mux(eq, res, gt, ck)
+    return res

@@ -1,0 +1,49 @@
+"""Key checkpoint/resume tests (absent in the reference — SURVEY.md §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rs_tfhe_tpu import gates
+from rs_tfhe_tpu.tlwe import lwe_decrypt_bool, lwe_encrypt_bool
+from rs_tfhe_tpu.utils.serialization import (
+    load_cloud_key,
+    load_secret_key,
+    save_cloud_key,
+    save_secret_key,
+)
+
+
+def test_secret_key_roundtrip(sk, tmp_path):
+    p = tmp_path / "sk.npz"
+    save_secret_key(p, sk)
+    sk2 = load_secret_key(p)
+    np.testing.assert_array_equal(np.asarray(sk.lv0), np.asarray(sk2.lv0))
+    np.testing.assert_array_equal(np.asarray(sk.lv1), np.asarray(sk2.lv1))
+    assert sk2.params == sk.params
+
+
+def test_cloud_key_roundtrip_and_use(sk, ck, tmp_path):
+    p = tmp_path / "ck.npz"
+    save_cloud_key(p, ck)
+    ck2 = load_cloud_key(p)
+    assert ck2.params == ck.params
+
+    a_bits = jnp.asarray([True, False])
+    b_bits = jnp.asarray([True, True])
+    ka, kb = jax.random.split(jax.random.key(11))
+    a = lwe_encrypt_bool(ka, sk.lv0, a_bits, sk.params.tlwe_lv0.alpha)
+    b = lwe_encrypt_bool(kb, sk.lv0, b_bits, sk.params.tlwe_lv0.alpha)
+    out = gates.nand(a, b, ck2)
+    np.testing.assert_array_equal(
+        np.asarray(lwe_decrypt_bool(out, sk.lv0)), [False, True]
+    )
+
+
+def test_kind_mismatch_rejected(sk, tmp_path):
+    p = tmp_path / "sk.npz"
+    save_secret_key(p, sk)
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_cloud_key(p)
