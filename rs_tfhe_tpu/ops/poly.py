@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import config
+from ..params import TORUS_BITS
 from ..torus import (
     TORUS_DTYPE,
     neg_torus,
@@ -188,11 +189,19 @@ def polymul_small_by_torus_multi(
                 preferred_element_type=jnp.float32,
             ).astype(jnp.int32)
             out = part if out is None else out + part
+    # Recombine limb products in place (sum over q and dk with 2^(8(p+q))
+    # weights, wrapping mod 2^32) — no transposed materialization of the
+    # 64 MB dot output; only the final [O, B, N] -> [B, O, N] swap moves data.
     out = out.reshape(o, q4, *batch_shape, d_limbs, n)
-    nb = len(batch_shape)
-    perm = (*range(2, 2 + nb), 0, 3 + nb, 2 + nb, 1)
-    out = out.transpose(perm)  # [..., o, n, dk, q]
-    return recombine_limb_products(out)
+    u = jax.lax.bitcast_convert_type(out, TORUS_DTYPE)
+    acc = jnp.zeros((o, *batch_shape, n), dtype=TORUS_DTYPE)
+    for q in range(q4):
+        for p in range(d_limbs):
+            s = 8 * (p + q)
+            if s >= TORUS_BITS:
+                continue
+            acc = acc + (u[:, q, ..., p, :] << jnp.uint32(s))
+    return jnp.moveaxis(acc, 0, -2)  # [..., o, n]
 
 
 def polymul_torus_by_binary(a: jax.Array, s: jax.Array) -> jax.Array:
