@@ -1,0 +1,101 @@
+"""Native C++ client runtime vs the JAX path (csrc/tfhe_client.cpp).
+
+The native library re-implements client-side torus math; these tests pin it
+bit-for-bit against the JAX implementations (both are exact integer
+arithmetic, so equality is exact, not approximate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_tfhe_tpu import native
+from rs_tfhe_tpu.ops.poly import monomial_rotate as jax_monomial_rotate
+from rs_tfhe_tpu.ops.poly import schoolbook_negacyclic
+from rs_tfhe_tpu.tlwe import lwe_decrypt_bool, lwe_phase
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++?)"
+)
+
+
+def test_polymul_matches_oracle(rng):
+    n = 64
+    a = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    b = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    got = native.negacyclic_polymul(a, b)
+    np.testing.assert_array_equal(got, schoolbook_negacyclic(a, b))
+
+
+def test_monomial_rotate_matches_jax(rng):
+    n = 64
+    t = rng.integers(0, 1 << 32, n, dtype=np.uint32)
+    for k in [0, 1, 5, n - 1, n, n + 3, 2 * n - 1]:
+        got = native.monomial_rotate(t, k)
+        exp = np.asarray(
+            jax_monomial_rotate(jnp.asarray(t)[None], jnp.asarray([k]))
+        )[0]
+        np.testing.assert_array_equal(got, exp, err_msg=f"k={k}")
+
+
+def test_native_encrypt_jax_decrypt(sk):
+    """Ciphertexts made by the C++ client decrypt correctly in JAX."""
+    mu_true = np.uint32(1 << 29)  # 1/8
+    mu_false = np.uint32(((1 << 32) - (1 << 29)) & 0xFFFFFFFF)  # -1/8
+    msgs = np.array([True, False, True, True, False])
+    mu = np.where(msgs, mu_true, mu_false).astype(np.uint32)
+    s = np.asarray(sk.lv0)
+    ct = native.lwe_encrypt(12345, s, mu, sk.params.tlwe_lv0.alpha)
+    dec = np.asarray(lwe_decrypt_bool(jnp.asarray(ct), sk.lv0))
+    np.testing.assert_array_equal(dec, msgs)
+    # and the native decryptor agrees
+    np.testing.assert_array_equal(native.lwe_decrypt_bool(ct, s), msgs)
+
+
+def test_native_phase_matches_jax(sk, rng):
+    n = sk.params.n0
+    ct = rng.integers(0, 1 << 32, (4, n + 1), dtype=np.uint32)
+    got = native.lwe_phase(ct, np.asarray(sk.lv0))
+    exp = np.asarray(lwe_phase(jnp.asarray(ct), sk.lv0))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_native_decompose_matches_jax(tiny, rng):
+    from rs_tfhe_tpu.ops.decompose import gadget_decompose
+
+    g = tiny.trgsw_lv1
+    x = rng.integers(0, 1 << 32, (3, 2, tiny.n1), dtype=np.uint32)
+    got = native.gadget_decompose(x, g.l, g.bgbit, tiny.decomposition_offset)
+    exp = np.asarray(gadget_decompose(jnp.asarray(x), tiny))  # [3, 2L, N]
+    # native layout: [l, 3, 2, N]; jax layout: [3, 2L, N] with a-digits then
+    # b-digits interleaved as [2, L] -> compare per (poly, digit)
+    exp2 = exp.reshape(3, 2, g.l, tiny.n1)
+    for d in range(g.l):
+        np.testing.assert_array_equal(got[d], exp2[:, :, d])
+
+
+def test_native_key_switch_matches_jax(sk, ck, rng):
+    """Native lv1->lv0 key switch == the JAX one-hot-matmul key switch."""
+    import rs_tfhe_tpu.key as K
+    from rs_tfhe_tpu.ops.keyswitch import identity_key_switch as jax_ks
+    from rs_tfhe_tpu.tlwe import lwe_encrypt_bool
+
+    p = sk.params
+    g = p.trgsw_lv1
+    # regenerate the raw (u32) KSK rows with the same derivation as CloudKey
+    ct = lwe_encrypt_bool(
+        jax.random.key(8), sk.lv1, jnp.asarray([True]), p.tlwe_lv1.alpha
+    )[0]
+    jax_out = np.asarray(jax_ks(jnp.asarray(ct)[None], ck.ksk_limbs, p))[0]
+
+    # reconstruct u32 KSK from the stored limbs (exact: limbs are a bijection)
+    limbs = np.asarray(ck.ksk_limbs, dtype=np.int64).reshape(
+        p.n1 * g.iks_t * (1 << g.basebit), p.n0 + 1, 4
+    )
+    ksk_u32 = np.zeros(limbs.shape[:2], dtype=np.uint32)
+    for q in range(4):
+        ksk_u32 += (limbs[..., q].astype(np.uint32)) << (8 * q)
+    ksk_u32 = ksk_u32.reshape(p.n1, g.iks_t, 1 << g.basebit, p.n0 + 1)
+
+    got = native.identity_key_switch(np.asarray(ct), ksk_u32, p.n0, g.iks_t, g.basebit)
+    np.testing.assert_array_equal(got, jax_out)
