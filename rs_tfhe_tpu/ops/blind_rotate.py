@@ -24,9 +24,37 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..config import config
 from ..params import TORUS_BITS, TfheParams
+from ..torus import split_u32_limbs
 from .decompose import gadget_decompose
-from .poly import build_step_matrix, monomial_rotate, polymul_small_by_torus_multi
+from .pallas_step import fused_external_product
+from .poly import (
+    build_step_matrix,
+    monomial_rotate,
+    negacyclic_extend,
+    polymul_small_by_torus_multi,
+)
+
+
+def _use_pallas_step(params: TfheParams, batch: int) -> bool:
+    """Per-step fused kernel selection. "auto" currently resolves to the XLA
+    path: measured end-to-end on v5e, XLA's cross-step pipelining of the
+    circulant build (VPU) against the external product (MXU) beats both
+    Pallas kernels, which serialize the two (1.09 s vs 1.23-1.29 s per
+    2048-batch blind rotation). The kernels stay available for explicit
+    selection and for future Mosaic improvements (int8 rotates would cut
+    their in-VMEM build traffic 4x)."""
+    if config.step_impl != "pallas":
+        return False
+    qualifies = (
+        params.digit_limbs == 1 and params.n1 % 128 == 0 and batch % 128 == 0
+    )
+    if not qualifies:
+        raise ValueError(
+            "pallas step requires digit_limbs == 1 and N, batch % 128 == 0"
+        )
+    return True
 
 
 def modswitch(x: jax.Array, params: TfheParams) -> jax.Array:
@@ -59,17 +87,43 @@ def blind_rotate(
     b_til = (2 * n1 - modswitch(ct[:, n0], params)) % (2 * n1)  # [B]
     a_til = modswitch(ct[:, :n0], params)  # [B, n0]
 
+    if config.step_impl == "fused" and not precomputed:
+        from .pallas_blind_rotate import eligible, fused_blind_rotate, prepare_bsk_limbs
+
+        if not eligible(params, batch, testvec.ndim):
+            raise ValueError("fused blind rotate: shape/testvec not eligible")
+        return fused_blind_rotate(
+            b_til.astype(jnp.int32),
+            a_til.T,
+            testvec,
+            prepare_bsk_limbs(bsk),
+            params,
+        )
+
     tv = jnp.broadcast_to(testvec, (batch, 2, n1))
     acc0 = monomial_rotate(tv, b_til[:, None])
+
+    use_pallas = not precomputed and _use_pallas_step(params, batch)
 
     def step(acc, xs):
         bsk_i, a_i = xs
         rot = monomial_rotate(acc, a_i[:, None])
         diff = rot - acc
         digits = gadget_decompose(diff, params)  # [B, 2L, N]
-        mat = bsk_i if precomputed else build_step_matrix(bsk_i)
-        delta = polymul_small_by_torus_multi(digits, mat, d_limbs, 2)
+        if use_pallas:
+            # kernel-ready BSK layout from the raw step polys (cheap: 98 kB
+            # of elementwise limb splitting; the 50 MB circulant expansion
+            # happens inside the kernel's VMEM)
+            xl = split_u32_limbs(negacyclic_extend(bsk_i))  # [2L, 2, 2N, 4]
+            xl = jnp.transpose(xl, (1, 3, 0, 2))  # [2, 4, 2L, 2N]
+            lhs = digits.astype(jnp.int8).reshape(batch, 2 * g.l * n1)
+            delta = fused_external_product(lhs, xl, 2)  # [B, 2, N]
+        else:
+            mat = bsk_i if precomputed else build_step_matrix(bsk_i)
+            delta = polymul_small_by_torus_multi(digits, mat, d_limbs, 2)
         return acc + delta, None
 
-    acc, _ = jax.lax.scan(step, acc0, (bsk, a_til.T))
+    # unroll=2: lets XLA overlap step i's MXU contraction with step i+1's
+    # circulant build (measured ~12% on v5e at batch 2048)
+    acc, _ = jax.lax.scan(step, acc0, (bsk, a_til.T), unroll=2)
     return acc

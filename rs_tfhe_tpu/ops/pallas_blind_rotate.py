@@ -1,0 +1,204 @@
+"""Whole-blind-rotation Pallas kernel: the bootstrap hot loop in VMEM.
+
+One `pallas_call` runs all n0 CMUX steps (reference rs-tfhe trgsw.rs:198-226)
+for a tile of the ciphertext batch, with the TRLWE accumulator RESIDENT IN
+VMEM across grid steps — the output block's index map is constant in the step
+dimension, so Pallas keeps it on-chip and flushes once per batch tile:
+
+  grid = (batch_tiles, n0)     # step minor => acc block stays in VMEM
+  per (ft, step):
+    step == 0:  acc := X^{b~} * testvec        (barrel rotator, VPU)
+    rot   = X^{a~_step} * acc                  (barrel rotator, VPU)
+    lhs   = gadget_decompose(rot - acc)        (shifts/masks, VPU)
+    delta = sum_j lhs_j (*) bsk[step, j]       (circulant built by log-
+                                                doubling rolls, int8 MXU dots)
+    acc  += delta
+
+HBM traffic for a whole bootstrap batch tile: stream the limb-split BSK
+(~68 MB at SECURITY_128_BIT, double-buffered by the Pallas pipeline) plus one
+accumulator write — versus ~100 MB *per step* for the unfused path.
+
+Eligibility: digit_limbs == 1, N % 128 == 0, batch % tile == 0, shared test
+vector. Other shapes fall back to ops/blind_rotate.py's XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import TORUS_BITS, TfheParams
+from ..torus import split_u32_limbs
+from .poly import negacyclic_extend
+
+_FB = 128  # batch-tile rows per program (256 OOMs VMEM once the out block
+#            double-buffers across batch tiles)
+
+
+def _neg_u32(x):
+    return jnp.zeros_like(x) - x
+
+
+def _barrel_rotate_2d(x: jax.Array, k: jax.Array, n: int) -> jax.Array:
+    """out[b, c] = x_ext[b, (c - k[b]) mod 2N] for x [FB, N], k int32 [FB, 1]:
+    log2(2N) stages of static negacyclic roll under per-batch bit selects
+    (all VPU, 2-D shapes only — Mosaic-friendly)."""
+    nbits = int(n * 2 - 1).bit_length()
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for i in range(nbits):
+        s = 1 << i
+        if s >= n:
+            rolled = _neg_u32(x) if s == n else x  # X^N = -1; s == 2N never hit
+        else:
+            r = pltpu.roll(x, s, axis=1)
+            rolled = jnp.where(col < s, _neg_u32(r), r)
+        bit = (k >> i) & 1  # [FB, 1], broadcasts over columns
+        x = jnp.where(bit == 1, rolled, x)
+    return x
+
+
+def _decompose_i8(diffs, params: TfheParams) -> jax.Array:
+    """diffs: pair of uint32 [FB, N] -> int8 [FB, 2L*N] digits, TRGSW row
+    order (a-poly digits then b-poly digits, reference trgsw.rs:158-168)."""
+    g = params.trgsw_lv1
+    mask = jnp.uint32(g.bg - 1)
+    half = jnp.int32(g.half_bg)
+    offset = jnp.uint32(params.decomposition_offset)
+    cols = []
+    for poly in range(2):
+        tmp = diffs[poly] + offset
+        for i in range(g.l):
+            shift = jnp.uint32(TORUS_BITS - (i + 1) * g.bgbit)
+            d = ((tmp >> shift) & mask).astype(jnp.int32) - half
+            cols.append(d.astype(jnp.int8))
+    return jnp.concatenate(cols, axis=-1)  # [FB, 2L*N]
+
+
+def _build_w_i8(x: jax.Array, blk: int) -> jax.Array:
+    """W[mi, c] = x[(c - mi) mod 2N] by log-doubling rolls.
+
+    Rolls run in int32: Mosaic rejects int8 rotates, and the int8-packed-as-
+    int32 lane bitcast that would cut the traffic 4x fails in the Pallas
+    transform layer ("cannot reshape"). This build is why the fused kernel
+    is VPU-bound — see module docstring for the cost analysis.
+    """
+    w = x[None, :].astype(jnp.int32)
+    k = 1
+    while k < blk:
+        w = jnp.concatenate([w, pltpu.roll(w, k, axis=1)], axis=0)
+        k *= 2
+    return w.astype(jnp.int8)
+
+
+def _kernel(tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams):
+    n = params.n1
+    g = params.trgsw_lv1
+    j_rows = 2 * g.l
+    two_n = 2 * n
+    step = pl.program_id(1)
+
+    b_k = btil_ref[0, :, :]  # [FB, 1] int32
+
+    @pl.when(step == 0)
+    def _init():
+        for poly in range(2):
+            tv = jnp.broadcast_to(tv_ref[poly, :][None, :], (_FB, n))
+            out_ref[:, poly, :] = _barrel_rotate_2d(tv, b_k, n)
+
+    a_k = atil_ref[0, :, :]  # [FB, 1] int32
+    acc = [out_ref[:, poly, :] for poly in range(2)]
+    diffs = [_barrel_rotate_2d(acc[poly], a_k, n) - acc[poly] for poly in range(2)]
+    lhs = _decompose_i8(diffs, params)  # [FB, 2L*N] int8
+
+    for o in range(2):
+        uacc = jnp.zeros((_FB, n), dtype=jnp.uint32)
+        for q in range(4):
+            acc_i = jnp.zeros((_FB, n), dtype=jnp.int32)
+            for j in range(j_rows):
+                w = _build_w_i8(bsk_ref[0, o, q, j, :], 128)  # [128, 2N]
+                w2 = jnp.concatenate([w, w], axis=1)  # [128, 4N]
+                rhs = jnp.concatenate(
+                    [
+                        jax.lax.slice(
+                            w2, (0, two_n - 128 * u), (128, two_n - 128 * u + n)
+                        )
+                        for u in range(n // 128)
+                    ],
+                    axis=0,
+                )  # [N, N]
+                acc_i += jax.lax.dot_general(
+                    lhs[:, j * n : (j + 1) * n],
+                    rhs,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+            shift = 8 * q
+            if shift < TORUS_BITS:
+                uacc = uacc + (
+                    jax.lax.bitcast_convert_type(acc_i, jnp.uint32)
+                    << jnp.uint32(shift)
+                )
+        out_ref[:, o, :] = acc[o] + uacc
+
+
+def eligible(params: TfheParams, batch: int, testvec_ndim: int) -> bool:
+    return (
+        params.digit_limbs == 1
+        and params.n1 % 128 == 0
+        and batch % _FB == 0
+        and testvec_ndim == 2
+    )
+
+
+def prepare_bsk_limbs(bsk: jax.Array) -> jax.Array:
+    """uint32 [n0, 2L, 2, N] -> int8 [n0, 2, 4, 2L, 2N] kernel stream layout."""
+    xl = split_u32_limbs(negacyclic_extend(bsk))  # [n0, 2L, 2, 2N, 4]
+    return jnp.transpose(xl, (0, 2, 4, 1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def fused_blind_rotate(
+    b_til: jax.Array,
+    a_til: jax.Array,
+    testvec: jax.Array,
+    bsk_limbs: jax.Array,
+    params: TfheParams,
+    interpret: bool = False,
+) -> jax.Array:
+    """b_til: int32 [B]; a_til: int32 [n0, B]; testvec: uint32 [2, N];
+    bsk_limbs: int8 [n0, 2, 4, 2L, 2N]. Returns the accumulator uint32
+    [B, 2, N] after all n0 CMUX steps."""
+    n0 = a_til.shape[0]
+    n = params.n1
+    g = params.trgsw_lv1
+    batch = b_til.shape[0]
+    assert batch % _FB == 0
+
+    kernel = functools.partial(_kernel, params=params)
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // _FB, n0),
+        in_specs=[
+            pl.BlockSpec((2, n), lambda ft, st: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, _FB, 1), lambda ft, st: (0, ft, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, _FB, 1), lambda ft, st: (st, ft, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 2, 4, 2 * g.l, 2 * n),
+                lambda ft, st: (st, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (_FB, 2, n), lambda ft, st: (ft, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, 2, n), jnp.uint32),
+        interpret=interpret,
+    )(testvec, b_til[None, :, None], a_til[:, :, None], bsk_limbs)
