@@ -47,8 +47,10 @@ def main() -> None:
     t0 = time.perf_counter()
     sk = SecretKey.generate(jax.random.key(42), params)
     ck = CloudKey.generate(jax.random.key(7), sk)
-    jax.block_until_ready((ck.ksk_limbs, ck.bsk))
-    log(f"keygen: {time.perf_counter() - t0:.2f}s")
+    # scalar host reads as the sync barrier (full-array transfers crawl
+    # through the device tunnel; block_until_ready is not a reliable barrier)
+    _ = np.asarray(jax.device_get((ck.ksk_limbs.ravel()[0], ck.bsk.ravel()[0])))
+    log(f"keygen (incl. compile): {time.perf_counter() - t0:.2f}s")
 
     rng = np.random.default_rng(0)
     bits_a = rng.integers(0, 2, batch).astype(bool)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from . import bootstrap as bs
+from .config import config
 from .key import CloudKey
 from .ops.keyswitch import identity_key_switch
 from .torus import f64_to_torus
@@ -103,13 +104,21 @@ _LINEAR_FORMS = {
 # Jitted gate implementations
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("name",))
-def _gate2(name: str, a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
+@partial(jax.jit, static_argnames=("name", "impl"))
+def _gate2(
+    name: str, a: jax.Array, b: jax.Array, ck: CloudKey, impl: str = "auto"
+) -> jax.Array:
+    # `impl` mirrors config.step_impl purely to key the jit cache: the config
+    # is read at trace time inside blind_rotate, so without it a config
+    # change after the first trace would silently reuse the old executable.
+    del impl
     return bs.bootstrap(_LINEAR_FORMS[name](a, b), ck)
 
 
-@jax.jit
-def _mux_impl(a: jax.Array, b: jax.Array, c: jax.Array, ck: CloudKey) -> jax.Array:
+@partial(jax.jit, static_argnames=("impl",))
+def _mux_impl(
+    a: jax.Array, b: jax.Array, c: jax.Array, ck: CloudKey, impl: str = "auto"
+) -> jax.Array:
     """MUX(a; b, c) = a ? b : c with 2 blind rotations + 1 key switch.
 
     Deviation from the reference's mux (gates.rs:157-183): the reference runs
@@ -126,47 +135,47 @@ def _mux_impl(a: jax.Array, b: jax.Array, c: jax.Array, ck: CloudKey) -> jax.Arr
 
 
 def nand(a, b, ck):
-    return _gate2("nand", a, b, ck)
+    return _gate2("nand", a, b, ck, config.step_impl)
 
 
 def or_(a, b, ck):
-    return _gate2("or", a, b, ck)
+    return _gate2("or", a, b, ck, config.step_impl)
 
 
 def and_(a, b, ck):
-    return _gate2("and", a, b, ck)
+    return _gate2("and", a, b, ck, config.step_impl)
 
 
 def xor(a, b, ck):
-    return _gate2("xor", a, b, ck)
+    return _gate2("xor", a, b, ck, config.step_impl)
 
 
 def xnor(a, b, ck):
-    return _gate2("xnor", a, b, ck)
+    return _gate2("xnor", a, b, ck, config.step_impl)
 
 
 def nor(a, b, ck):
-    return _gate2("nor", a, b, ck)
+    return _gate2("nor", a, b, ck, config.step_impl)
 
 
 def and_ny(a, b, ck):
-    return _gate2("and_ny", a, b, ck)
+    return _gate2("and_ny", a, b, ck, config.step_impl)
 
 
 def and_yn(a, b, ck):
-    return _gate2("and_yn", a, b, ck)
+    return _gate2("and_yn", a, b, ck, config.step_impl)
 
 
 def or_ny(a, b, ck):
-    return _gate2("or_ny", a, b, ck)
+    return _gate2("or_ny", a, b, ck, config.step_impl)
 
 
 def or_yn(a, b, ck):
-    return _gate2("or_yn", a, b, ck)
+    return _gate2("or_yn", a, b, ck, config.step_impl)
 
 
 def mux(a, b, c, ck):
-    return _mux_impl(a, b, c, ck)
+    return _mux_impl(a, b, c, ck, config.step_impl)
 
 
 def mux_naive(a, b, c, ck):
@@ -212,7 +221,7 @@ class Gates:
 
     def _run(self, name, a, b, ck):
         if self._strategy is None:
-            return _gate2(name, a, b, ck)
+            return _gate2(name, a, b, ck, config.step_impl)
         return self._strategy.bootstrap(_LINEAR_FORMS[name](a, b), ck)
 
     def nand(self, a, b, ck):
