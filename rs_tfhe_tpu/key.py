@@ -80,6 +80,22 @@ class CloudKey:
             params=params,
         )
 
+    @staticmethod
+    def generate_no_ksk(params: TfheParams) -> "CloudKey":
+        """All-zero dummy keys: lets decomposition/external-product/CMUX unit
+        tests skip the expensive keygen (reference new_no_ksk, key.rs:68-75)."""
+        g = params.trgsw_lv1
+        return CloudKey(
+            testvec=gen_testvec(params),
+            ksk_limbs=jnp.zeros(
+                (params.n1 * g.iks_t * params.ks_base, (params.n0 + 1) * 4),
+                dtype=jnp.int8,
+            ),
+            bsk=jnp.zeros((params.n0, 2 * g.l, 2, params.n1), dtype=jnp.uint32),
+            bsk_prepared=None,
+            params=params,
+        )
+
 
 def gen_testvec(params: TfheParams) -> jax.Array:
     """Constant test vector: a = 0, b[i] = 1/8 (reference key.rs:91-100)."""
