@@ -52,7 +52,7 @@ class CloudKey:
     testvec: jax.Array  # uint32 [2, N]
     ksk_limbs: jax.Array  # int8 [N*IKS_T*BASE, (n0+1)*4]
     bsk: jax.Array  # uint32 [n0, 2L, 2, N]
-    bsk_prepared: Optional[jax.Array]  # int8 [n0, 2L*N, 2*4*N] or None
+    bsk_prepared: Optional[jax.Array]  # int8 [n0, 2, 4, 2L*N, N] or None
     params: TfheParams = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -65,8 +65,12 @@ class CloudKey:
 
     @staticmethod
     def generate(
-        key: jax.Array, sk: SecretKey, precompute_circulants: bool = False
+        key: jax.Array, sk: SecretKey, precompute_circulants: bool | None = None
     ) -> "CloudKey":
+        if precompute_circulants is None:
+            from .config import config
+
+            precompute_circulants = config.bsk_mode == "precomputed"
         params = sk.params
         k_ksk, k_bsk = jax.random.split(key)
         ksk_limbs = gen_key_switching_key(k_ksk, sk)

@@ -76,7 +76,7 @@ def blind_rotate(
     ct:      uint32 [B, n0+1]
     testvec: uint32 [2, N] (shared) or [B, 2, N] (per-ciphertext LUTs)
     bsk:     onthefly:    uint32 [n0, 2L, 2, N]   (TRGSW coefficient polys)
-             precomputed: int8   [n0, 2L*N, 2*4*N] (step matrices)
+             precomputed: int8   [n0, 2, 4, 2L*N, N] (step matrices)
     Returns the accumulator TRLWE batch, uint32 [B, 2, N].
     """
     g = params.trgsw_lv1
