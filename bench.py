@@ -37,7 +37,7 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
-    batch = int(os.environ.get("RS_TFHE_BENCH_BATCH", "2048"))
+    batch = int(os.environ.get("RS_TFHE_BENCH_BATCH", "4096"))  # v5e sweet spot
     iters = int(os.environ.get("RS_TFHE_BENCH_ITERS", "5"))
     pname = os.environ.get("RS_TFHE_BENCH_PARAMS", "SECURITY_128_BIT")
     params = ALL_SECURITY_SETS[pname]
