@@ -63,6 +63,19 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def make_multihost_mesh(tp: int = 1) -> Mesh:
+    """Mesh over every device in a multi-host (DCN) deployment.
+
+    Call after `jax.distributed.initialize()` on each host. The batch axis
+    spans hosts: data-parallel gate batches shard across the full slice with
+    zero cross-host collectives (keys replicate once at placement); keep any
+    `model` axis within a host's chips so its psums ride ICI, which this
+    layout guarantees because the model axis is minor in the device order.
+    Single-process fallback: identical to make_mesh().
+    """
+    return make_mesh(len(jax.devices()), tp=tp)
+
+
 def pad_to_multiple(x: jax.Array, multiple: int, axis: int = 0):
     """Pad the batch axis up to a mesh-divisible size; returns (padded, size)."""
     size = x.shape[axis]

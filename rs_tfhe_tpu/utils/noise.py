@@ -1,0 +1,104 @@
+"""Noise-budget estimation and decryption-failure prediction.
+
+The reference has no failure detection at all (SURVEY.md §5): gates silently
+mis-evaluate if noise exceeds the decision margin. For a production service
+this module provides the standard TFHE variance calculus:
+
+- fresh-ciphertext, gate-linear-form, blind-rotation, and key-switching
+  noise variances (as fractions of the torus, i.e. alpha^2 units);
+- per-gate failure probability under the Gaussian model:
+  p_fail = erfc(margin / (sqrt(2) * sigma)) per ciphertext, margin = 1/16
+  for the +/-1/8 boolean encoding (distance from mu to the decision
+  boundary is 1/8, the linear form of 2 inputs doubles variance before the
+  bootstrap resets it; the post-bootstrap margin is 1/16 against the
+  rounding boundary of the next gate's linear form);
+- an empirical phase-noise measurement helper for validating the model.
+
+Variance formulas follow the TFHE literature (Chillotti et al.), matching
+the reference's parameter derivations (params.rs comments).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..params import TORUS_BITS, TfheParams
+
+
+@dataclasses.dataclass(frozen=True)
+class NoiseEstimate:
+    """Standard deviations are fractions of the torus (1.0 = full circle)."""
+
+    fresh_lv0_std: float
+    bootstrap_out_std: float  # after blind rotate + extract + key switch
+    gate_input_std: float  # linear form of two bootstrapped ciphertexts
+    gate_fail_prob: float  # per-ciphertext probability of a wrong gate output
+
+    def bits_of_margin(self) -> float:
+        """How many sigmas fit in the gate decision margin."""
+        return (1.0 / 16.0) / self.gate_input_std if self.gate_input_std else math.inf
+
+
+def _erfc(x: float) -> float:
+    return math.erfc(x)
+
+
+def estimate(params: TfheParams) -> NoiseEstimate:
+    """Analytic noise budget for gate bootstrapping at these parameters."""
+    g = params.trgsw_lv1
+    n0, n1 = params.n0, params.n1
+    bg = float(g.bg)
+    l = g.l
+
+    var_fresh0 = params.tlwe_lv0.alpha ** 2
+    var_bsk = params.bsk_alpha ** 2
+    var_ksk = params.ksk_alpha ** 2
+
+    # Blind rotation: n0 CMUX steps; each external product adds
+    #   2 * l * N * (Bg/2)^2 * var_bsk   (decomposition digit noise)
+    # + (1 + N) * eps^2                  (gadget rounding, eps = 1/(2 Bg^l))
+    eps2 = (1.0 / (2.0 * bg**l)) ** 2
+    var_per_cmux = 2.0 * l * n1 * (bg / 2.0) ** 2 * var_bsk + (1.0 + n1) * eps2
+    var_br = n0 * var_per_cmux
+
+    # Key switching lv1 -> lv0: N * t * var_ksk + N * 2^-2(t*basebit+1) rounding
+    t = g.iks_t
+    var_ks = n1 * t * var_ksk + n1 * 2.0 ** (-2.0 * (t * g.basebit + 1))
+
+    var_out = var_br + var_ks
+    var_gate_in = 2.0 * var_out  # linear form a +/- b of two bootstrapped cts
+
+    # margin to the decision boundary for the +/-1/8 encoding after the
+    # gate's linear form (NAND: -(a+b) +/- 1/8 sits 1/8 from the sign
+    # boundary; inputs contribute 2x variance), plus the modswitch rounding
+    # of blind rotation (uniform in +/- 1/(4N) per coefficient):
+    var_modswitch = (n0 + 1) * (1.0 / (2.0 * n1)) ** 2 / 12.0
+    sigma = math.sqrt(var_gate_in + var_modswitch)
+    margin = 1.0 / 16.0
+    p_fail = _erfc(margin / (math.sqrt(2.0) * sigma))
+
+    return NoiseEstimate(
+        fresh_lv0_std=math.sqrt(var_fresh0),
+        bootstrap_out_std=math.sqrt(var_out),
+        gate_input_std=sigma,
+        gate_fail_prob=p_fail,
+    )
+
+
+def measure_phase_noise(ct, secret, mu_expected) -> np.ndarray:
+    """Empirical torus-fraction noise of LWE ciphertexts.
+
+    ct: uint32 [..., n+1]; secret: the matching binary key; mu_expected:
+    uint32 expected plaintext(s). Returns signed noise as fractions of the
+    torus — feed its std into sanity checks against `estimate`.
+    """
+    from ..tlwe import lwe_phase
+
+    phase = np.asarray(lwe_phase(ct, secret), dtype=np.uint32)
+    diff = (phase - np.asarray(mu_expected, dtype=np.uint32)).astype(np.uint32)
+    signed = diff.astype(np.int64)
+    signed = np.where(signed >= 1 << (TORUS_BITS - 1), signed - (1 << TORUS_BITS), signed)
+    return signed.astype(np.float64) / float(1 << TORUS_BITS)

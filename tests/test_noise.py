@@ -1,0 +1,45 @@
+"""Noise-budget model vs empirical measurement (new capability — the
+reference has no failure detection, SURVEY.md §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import rs_tfhe_tpu as tfhe
+from rs_tfhe_tpu import gates
+from rs_tfhe_tpu.tlwe import lwe_encrypt_bool
+from rs_tfhe_tpu.torus import f64_to_torus
+from rs_tfhe_tpu.utils.noise import estimate, measure_phase_noise
+
+
+def test_estimates_are_sane_for_all_param_sets():
+    for name, p in tfhe.ALL_SECURITY_SETS.items():
+        est = estimate(p)
+        assert 0.0 < est.bootstrap_out_std < 0.5, name
+        # the boolean sets must give essentially-always-correct gates; the
+        # Uint sets use message-modulus margins, not the boolean 1/16 margin
+        # (UINT1's boolean-margin estimate is ~1e-2 — it is a LUT set)
+        if name.endswith("_BIT"):
+            assert est.gate_fail_prob < 1e-10, (name, est.gate_fail_prob)
+        else:
+            assert est.gate_fail_prob < 0.5, (name, est.gate_fail_prob)
+
+
+def test_fresh_noise_matches_alpha(tiny, sk, rng):
+    msgs = jnp.asarray(np.ones(512, dtype=bool))
+    ct = lwe_encrypt_bool(jax.random.key(0), sk.lv0, msgs, 1e-4)
+    noise = measure_phase_noise(ct, sk.lv0, np.uint32(f64_to_torus(0.125)))
+    # empirical std within 3x of the sampling alpha (512 samples)
+    assert 0.3e-4 < noise.std() < 3e-4
+
+
+def test_bootstrap_output_noise_within_model(tiny, sk, ck, rng):
+    """Empirical post-gate noise must not exceed the analytic bound."""
+    est = estimate(tiny)
+    bits = jnp.asarray(rng.integers(0, 2, 64).astype(bool))
+    a = lwe_encrypt_bool(jax.random.key(1), sk.lv0, bits, tiny.tlwe_lv0.alpha)
+    b = lwe_encrypt_bool(jax.random.key(2), sk.lv0, ~bits, tiny.tlwe_lv0.alpha)
+    out = gates.nand(a, b, ck)  # NAND(x, ~x) == True always
+    noise = measure_phase_noise(out, sk.lv0, np.uint32(f64_to_torus(0.125)))
+    assert np.abs(noise).max() < 6.0 * est.bootstrap_out_std + 1e-9
+    assert noise.std() < 2.0 * est.bootstrap_out_std + 1e-9
