@@ -29,13 +29,16 @@ class Config:
     dot_impl: str = os.environ.get("RS_TFHE_DOT_IMPL", "int8")
     bsk_mode: str = os.environ.get("RS_TFHE_BSK_MODE", "onthefly")
     #: blind-rotation implementation:
-    #:   "auto"/"xla" — dot_general path (fastest measured on v5e: XLA
-    #:                  pipelines the circulant build against the matmul);
+    #:   "auto"       — Nussbaumer below the measured batch crossover (~64),
+    #:                  dot_general circulant path above it;
+    #:   "xla"        — force the dot_general circulant path;
+    #:   "nussbaumer" — force the Nussbaumer transform path
+    #:                  (ops/nussbaumer.py; 2.7x better single-gate latency);
     #:   "pallas"     — per-step fused kernel (ops/pallas_step.py);
     #:   "fused"      — whole-rotation kernel with the accumulator resident
     #:                  in VMEM across all n0 steps (ops/pallas_blind_rotate).
-    #: Both kernels are bit-exact vs the XLA path; they require
-    #: digit_limbs == 1 and N, batch multiples of 128.
+    #: All alternatives are bit-exact vs the XLA path (each has shape or
+    #: parameter eligibility conditions; ineligible "auto" falls back).
     step_impl: str = os.environ.get("RS_TFHE_STEP_IMPL", "auto")
 
 

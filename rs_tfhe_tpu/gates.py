@@ -274,4 +274,4 @@ class Gates:
 def batch_gate(name: str, a_batch, b_batch, ck):
     """Evaluate one gate over a whole batch in a single fused bootstrap scan
     (the analogue of reference batch_nand/batch_and/... gates.rs:352-547)."""
-    return _gate2(name, a_batch, b_batch, ck)
+    return _gate2(name, a_batch, b_batch, ck, config.step_impl)

@@ -104,13 +104,38 @@ def blind_rotate(
     acc0 = monomial_rotate(tv, b_til[:, None])
 
     use_pallas = not precomputed and _use_pallas_step(params, batch)
+    # "auto" picks Nussbaumer below the measured v5e crossover (B~64): its
+    # transforms scale with batch while the direct path's circulant build
+    # does not, so it wins 2.7x on single-gate latency and loses at scale.
+    # The crossover is TPU-measured; CPU keeps the direct path.
+    use_nussbaumer = not precomputed and (
+        config.step_impl == "nussbaumer"
+        or (
+            config.step_impl == "auto"
+            and batch < 64
+            and jax.devices()[0].platform != "cpu"
+        )
+    )
+    if use_nussbaumer:
+        from .nussbaumer import check_bounds, external_product_step, prepare_bsk_step
+
+        if check_bounds(params):
+            pass
+        elif config.step_impl == "nussbaumer":
+            raise ValueError("nussbaumer step: parameter bounds not satisfied")
+        else:
+            use_nussbaumer = False
 
     def step(acc, xs):
         bsk_i, a_i = xs
         rot = monomial_rotate(acc, a_i[:, None])
         diff = rot - acc
         digits = gadget_decompose(diff, params)  # [B, 2L, N]
-        if use_pallas:
+        if use_nussbaumer:
+            delta = external_product_step(
+                digits, prepare_bsk_step(bsk_i, params), params
+            )
+        elif use_pallas:
             # kernel-ready BSK layout from the raw step polys (cheap: 98 kB
             # of elementwise limb splitting; the 50 MB circulant expansion
             # happens inside the kernel's VMEM)
