@@ -93,6 +93,11 @@ def lwe_neg(x):
     return jnp.zeros_like(x) - x
 
 
+def lwe_mul(x, multiplier: int):
+    """Scalar multiply (reference Mul, tlwe.rs:160-176)."""
+    return x * jnp.uint32(multiplier)
+
+
 def lwe_add_mul(x, y, multiplier: int):
     """x + multiplier*y (reference AddMul, tlwe.rs:185-195)."""
     return x + y * jnp.uint32(multiplier)

@@ -58,3 +58,11 @@ def cmux(
     cond: TRGSW uint32 [2L, 2, N]; c0/c1: TRLWE uint32 [..., 2, N].
     """
     return c0 + external_product(cond, c1 - c0, params)
+
+
+def batch_blind_rotate(ct, testvec, bsk, params, precomputed: bool = False):
+    """Parity alias for the reference's batch_blind_rotate (trgsw.rs:289-305):
+    here blind rotation is batch-first, so the batch API IS the API."""
+    from .ops.blind_rotate import blind_rotate
+
+    return blind_rotate(ct, testvec, bsk, params, precomputed)
