@@ -12,11 +12,15 @@ the n0 steps where every step processes the whole [B, 2, N] accumulator batch:
            delta = d (x) BSK_i               (exact limb matmul on the MXU)
            acc   = acc + delta               (== CMUX(acc, rot; BSK_i))
 
-Two BSK layouts (config.bsk_mode):
-  - "onthefly":    the step matrix (limb circulants) is built inside the scan
-                   from the [2L, 2, N] coefficient polys — BSK stays a few MB.
-  - "precomputed": all n0 step matrices are materialized at CloudKey
-                   preparation and streamed from HBM (fast, huge memory).
+BSK layouts (config.bsk_mode): "onthefly" builds the step operand inside the
+scan from the [2L, 2, N] coefficient polys (BSK stays a few MB);
+"precomputed" materializes all n0 operands at CloudKey preparation (huge
+memory, big-HBM chips only).
+
+Step implementations (config.step_impl; all bit-exact): "xla" — the MXU
+circulant path above; "nussbaumer" — transform path, 2.7x better single-gate
+latency (ops/nussbaumer.py); "pallas"/"fused" — Mosaic kernels
+(ops/pallas_*.py); "auto" — Nussbaumer below batch 64 on TPU, else xla.
 """
 
 from __future__ import annotations
