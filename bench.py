@@ -5,7 +5,7 @@ blind rotate + sample extract + key switch) on the default JAX device and
 prints ONE JSON line. Baseline: the reference's ~15 ms/gate single-core claim
 (rs-tfhe README.md:217, BASELINE.md) = 66.7 gates/sec.
 
-Env overrides: RS_TFHE_BENCH_BATCH (default 64), RS_TFHE_BENCH_ITERS
+Env overrides: RS_TFHE_BENCH_BATCH (default 4096), RS_TFHE_BENCH_ITERS
 (default 5), RS_TFHE_BENCH_PARAMS (default SECURITY_128_BIT).
 """
 

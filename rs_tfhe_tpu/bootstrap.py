@@ -69,6 +69,10 @@ class VanillaBootstrap:
     def bootstrap(self, ct, ck):
         return bootstrap(ct, ck)
 
+    def bootstrap_gate(self, ct, ck):
+        """Refresh a gate-linear-form ciphertext (+/-1/8 boolean encoding)."""
+        return bootstrap(ct, ck)
+
     def bootstrap_without_key_switch(self, ct, ck):
         return bootstrap_without_key_switch(ct, ck)
 
@@ -88,12 +92,29 @@ class LutBootstrap:
         return bootstrap_with_testvec(ct, lut.poly, ck)
 
     def bootstrap(self, ct, ck):
-        # identity function over the boolean message space (lut.rs:109-112)
+        # identity over the mod-2 MESSAGE encoding (m/(2*modulus), centered
+        # in the LUT ranges — reference lut.rs:109-112). NOT valid for gate
+        # linear forms; see bootstrap_gate.
         return self.bootstrap_func(ct, lambda x: x, 2, ck)
 
+    def bootstrap_gate(self, ct, ck):
+        """Refresh a gate-linear-form ciphertext (+/-1/8 boolean encoding)
+        via the sign test vector.
+
+        Deviation from the reference, whose Gates-with-LUT-strategy path
+        routes gate ciphertexts through the identity-mod-2 LUT above
+        (gates.rs:30-49 + lut.rs:109-112): boolean gate phases (+/-1/8,
+        +/-3/8) land exactly on that LUT's range boundaries, so gates
+        evaluate correctly only ~50-80% of the time (confirmed empirically).
+        The sign test vector is the correct identity over the boolean
+        encoding."""
+        return bootstrap_with_testvec(ct, ck.testvec, ck)
+
     def bootstrap_without_key_switch(self, ct, ck):
-        # the LUT strategy always key-switches (lut.rs:114-121)
-        return self.bootstrap(ct, ck)
+        """Same lv1 output contract as VanillaBootstrap (the reference's
+        lut.rs:114-121 instead falls back to a full key-switched bootstrap,
+        making the two strategies disagree on this method's output type)."""
+        return bootstrap_without_key_switch(ct, ck)
 
 
 def default_bootstrap() -> VanillaBootstrap:

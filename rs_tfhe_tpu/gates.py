@@ -19,7 +19,7 @@ from . import bootstrap as bs
 from .config import config
 from .key import CloudKey
 from .ops.keyswitch import identity_key_switch
-from .torus import f64_to_torus
+from .torus import f64_to_torus, neg_torus
 
 _BIAS_1_8 = int(f64_to_torus(0.125))
 _BIAS_M1_8 = int(f64_to_torus(-0.125))
@@ -32,7 +32,7 @@ def _lin(x):
 
 
 def _neg(x):
-    return jnp.zeros_like(x) - x
+    return neg_torus(x)
 
 
 def _biased(ct, bias: int):
@@ -222,7 +222,11 @@ class Gates:
     def _run(self, name, a, b, ck):
         if self._strategy is None:
             return _gate2(name, a, b, ck, config.step_impl)
-        return self._strategy.bootstrap(_LINEAR_FORMS[name](a, b), ck)
+        # gate linear forms use the +/-1/8 boolean encoding — strategies
+        # refresh them via bootstrap_gate (the generic bootstrap() may be
+        # defined over message encodings instead, e.g. LutBootstrap)
+        refresh = getattr(self._strategy, "bootstrap_gate", self._strategy.bootstrap)
+        return refresh(_LINEAR_FORMS[name](a, b), ck)
 
     def nand(self, a, b, ck):
         return self._run("nand", a, b, ck)
@@ -255,10 +259,17 @@ class Gates:
         return self._run("or_yn", a, b, ck)
 
     def mux(self, a, b, c, ck):
-        return mux(a, b, c, ck)
+        if self._strategy is None:
+            return mux(a, b, c, ck)
+        # compose MUX from the injected strategy's primitives at lv1
+        u1 = self._strategy.bootstrap_without_key_switch(_and_lin(a, b), ck)
+        u2 = self._strategy.bootstrap_without_key_switch(_and_lin(_neg(a), c), ck)
+        u = _biased(u1 + u2, _BIAS_1_8)
+        return identity_key_switch(u, ck.ksk_limbs, ck.params)
 
     def mux_naive(self, a, b, c, ck):
-        return mux_naive(a, b, c, ck)
+        # route through the strategy-aware gates (reference gates.rs:189-199)
+        return self.or_(self.and_(a, b, ck), self.and_(not_(a), c, ck), ck)
 
     def not_(self, a):
         return not_(a)

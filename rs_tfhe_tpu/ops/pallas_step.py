@@ -16,7 +16,7 @@ reads it back into the MXU. This kernel keeps the whole expansion in VMEM:
 
 HBM traffic per step drops from ~115 MB to ~29 MB (lhs + x + u32 out).
 
-Restrictions: digit_limbs == 1 (bgbit <= 8 — the boolean parameter sets) and
+Restrictions: digit_limbs == 1 (bgbit <= 7 — the boolean parameter sets) and
 N a multiple of 128; other shapes fall back to the XLA path transparently.
 Reference semantics: external product accumulate, rs-tfhe trgsw.rs:77-116.
 """

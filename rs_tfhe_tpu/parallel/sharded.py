@@ -46,8 +46,13 @@ from .mesh import BATCH_AXIS, MODEL_AXIS, batch_spec, pad_to_multiple, replicate
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("name",))
-def _dp_gate(name: str, a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
+@partial(jax.jit, static_argnames=("name", "impl"))
+def _dp_gate(
+    name: str, a: jax.Array, b: jax.Array, ck: CloudKey, impl: str = "auto"
+) -> jax.Array:
+    # `impl` keys the jit cache on config.step_impl (read at trace time
+    # inside blind_rotate) — see gates._gate2.
+    del impl
     return _bootstrap(_LINEAR_FORMS[name](a, b), ck)
 
 
@@ -59,13 +64,15 @@ def data_parallel_gate(
     a, b: uint32 [B, n0+1]. B is padded up to a multiple of the batch-axis
     size; the pad rows are dropped from the result.
     """
+    from ..config import config
+
     n_batch = mesh.shape[BATCH_AXIS]
     a_pad, size = pad_to_multiple(a, n_batch)
     b_pad, _ = pad_to_multiple(b, n_batch)
     a_sh = shard_batch(a_pad, mesh)
     b_sh = shard_batch(b_pad, mesh)
     ck_rep = replicate(ck, mesh)
-    return _dp_gate(name, a_sh, b_sh, ck_rep)[:size]
+    return _dp_gate(name, a_sh, b_sh, ck_rep, config.step_impl)[:size]
 
 
 # ---------------------------------------------------------------------------
@@ -160,8 +167,9 @@ def tensor_parallel_bootstrap(ct: jax.Array, ck: CloudKey, mesh: Mesh) -> jax.Ar
     return out
 
 
-@partial(jax.jit, static_argnames=("name", "mesh"))
-def _tp_gate(name: str, a, b, ck: CloudKey, mesh: Mesh):
+@partial(jax.jit, static_argnames=("name", "mesh", "impl"))
+def _tp_gate(name: str, a, b, ck: CloudKey, mesh: Mesh, impl: str = "auto"):
+    del impl  # jit cache key for config.step_impl (see gates._gate2)
     lin = _LINEAR_FORMS[name](a, b)
     return tensor_parallel_bootstrap(lin, ck, mesh)
 
@@ -169,4 +177,6 @@ def _tp_gate(name: str, a, b, ck: CloudKey, mesh: Mesh):
 def tensor_parallel_gate(name, a, b, ck: CloudKey, mesh: Mesh):
     """Gate evaluation on the (batch, model) mesh: linear form then TP
     bootstrap. a, b: uint32 [B, n0+1] with B divisible by the batch size."""
-    return _tp_gate(name, a, b, ck, mesh)
+    from ..config import config
+
+    return _tp_gate(name, a, b, ck, mesh, config.step_impl)

@@ -13,7 +13,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .torus import TORUS_DTYPE, f64_to_torus, gaussian_torus, uniform_torus
+from .torus import (
+    TORUS_DTYPE,
+    f64_to_torus,
+    gaussian_torus,
+    neg_torus,
+    uniform_torus,
+)
 
 
 def lwe_encrypt_torus(
@@ -90,7 +96,7 @@ def lwe_sub(x, y):
 
 
 def lwe_neg(x):
-    return jnp.zeros_like(x) - x
+    return neg_torus(x)
 
 
 def lwe_mul(x, multiplier: int):

@@ -89,3 +89,33 @@ def test_gates_class_with_strategy(enc_inputs, sk, ck):
     out = g.nand(cta, ctb, ck)
     dec = np.asarray(tlwe.lwe_decrypt_bool(out, sk.lv0))
     assert np.array_equal(dec, ~(A & B))
+
+
+def test_lut_strategy_gates_statistically_correct(sk, ck, rng):
+    """Regression: the reference's identity-LUT-mod-2 gate bootstrap puts
+    boolean gate phases exactly on LUT range boundaries (only ~50-80%
+    correct). Our LutBootstrap gates use the sign test vector and must be
+    100% correct over many random inputs."""
+    import jax
+    import jax.numpy as jnp
+    from rs_tfhe_tpu.bootstrap import LutBootstrap
+    from rs_tfhe_tpu.gates import Gates
+
+    g = Gates(LutBootstrap())
+    bits_a = rng.integers(0, 2, 64).astype(bool)
+    bits_b = rng.integers(0, 2, 64).astype(bool)
+    ka, kb = jax.random.split(jax.random.key(31))
+    a = tlwe.lwe_encrypt_bool(ka, sk.lv0, jnp.asarray(bits_a), sk.params.tlwe_lv0.alpha)
+    b = tlwe.lwe_encrypt_bool(kb, sk.lv0, jnp.asarray(bits_b), sk.params.tlwe_lv0.alpha)
+    for name, fn in [("or_", lambda x, y: x | y), ("and_", lambda x, y: x & y),
+                     ("xor", lambda x, y: x ^ y)]:
+        out = getattr(g, name)(a, b, ck)
+        dec = np.asarray(tlwe.lwe_decrypt_bool(out, sk.lv0))
+        np.testing.assert_array_equal(dec, fn(bits_a, bits_b), err_msg=name)
+    # strategy-routed MUX with the lv1 composition contract
+    c_bits = rng.integers(0, 2, 64).astype(bool)
+    c = tlwe.lwe_encrypt_bool(jax.random.key(32), sk.lv0, jnp.asarray(c_bits),
+                              sk.params.tlwe_lv0.alpha)
+    out = g.mux(a, b, c, ck)
+    dec = np.asarray(tlwe.lwe_decrypt_bool(out, sk.lv0))
+    np.testing.assert_array_equal(dec, np.where(bits_a, bits_b, c_bits))
