@@ -134,8 +134,8 @@ def greater_than(a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
     MSB-down MUX chain: result = MUX(a_i XNOR b_i, result_so_far, a_i AND
     NOT b_i); serial depth W like the classic comparator circuit."""
     w = a.shape[-2]
-    res = gates.constant(False, a.shape[0] if a.ndim > 2 else 1, ck.params)
-    res = jnp.broadcast_to(res[0], (*a.shape[:-2], a.shape[-1]))
+    false_ct = gates.constant(False, 1, ck.params)[0]
+    res = jnp.broadcast_to(false_ct, (*a.shape[:-2], a.shape[-1]))
     for i in range(w):  # LSB -> MSB so the MSB decides last
         ai, bi = a[..., i, :], b[..., i, :]
         eq = gates.xnor(ai, bi, ck)
