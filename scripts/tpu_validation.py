@@ -120,7 +120,20 @@ def main() -> None:
     dec = np.asarray(jax.device_get(tlwe.lwe_decrypt_bool(out, sk.lv0)))
     check("reloaded cloud key", (dec == ~(a_bits & b_bits)).all())
 
-    print(f"\nALL {PASS} CHECKS PASSED at {p.description} "
+    # -- Uint4 parameter set: multi-limb digit path at full scale ------------
+    p4 = tfhe.SECURITY_UINT4
+    sk4 = tfhe.SecretKey.generate(jax.random.key(20), p4)
+    ck4 = tfhe.CloudKey.generate(jax.random.key(21), sk4)
+    m16 = 16
+    msgs = jnp.asarray(np.arange(m16))
+    ct4 = tlwe.lwe_encrypt_message(jax.random.key(22), sk4.lv0, msgs, m16,
+                                   p4.tlwe_lv0.alpha)
+    out4 = LutBootstrap().bootstrap_func(ct4, lambda x: (x * 3 + 1) % m16, m16, ck4)
+    check("UINT4 PBS, 3-limb digits (3x+1 mod 16)",
+          list(tlwe.lwe_decrypt_message(out4, sk4.lv0, m16))
+          == [(x * 3 + 1) % m16 for x in range(m16)])
+
+    print(f"\nALL {PASS} CHECKS PASSED "
           f"({time.perf_counter() - t0:.0f}s total)")
 
 
