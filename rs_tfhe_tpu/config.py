@@ -29,11 +29,13 @@ class Config:
     dot_impl: str = os.environ.get("RS_TFHE_DOT_IMPL", "int8")
     bsk_mode: str = os.environ.get("RS_TFHE_BSK_MODE", "onthefly")
     #: blind-rotation implementation:
-    #:   "auto"       — Nussbaumer below the measured batch crossover (~64),
-    #:                  dot_general circulant path above it;
+    #:   "auto"       — batch-aware: the whole-rotation VMEM kernel up to
+    #:                  batch 1024 (padded to 128-row tiles; TPU, shared
+    #:                  testvec), Nussbaumer for small per-ciphertext-LUT
+    #:                  batches, the dot_general circulant path otherwise;
     #:   "xla"        — force the dot_general circulant path;
     #:   "nussbaumer" — force the Nussbaumer transform path
-    #:                  (ops/nussbaumer.py; 2.7x better single-gate latency);
+    #:                  (ops/nussbaumer.py);
     #:   "pallas"     — per-step fused kernel (ops/pallas_step.py);
     #:   "fused"      — whole-rotation kernel with the accumulator resident
     #:                  in VMEM across all n0 steps (ops/pallas_blind_rotate).

@@ -42,13 +42,9 @@ from .poly import (
 
 
 def _use_pallas_step(params: TfheParams, batch: int) -> bool:
-    """Per-step fused kernel selection. "auto" currently resolves to the XLA
-    path: measured end-to-end on v5e, XLA's cross-step pipelining of the
-    circulant build (VPU) against the external product (MXU) beats both
-    Pallas kernels, which serialize the two (1.09 s vs 1.23-1.29 s per
-    2048-batch blind rotation). The kernels stay available for explicit
-    selection and for future Mosaic improvements (int8 rotates would cut
-    their in-VMEM build traffic 4x)."""
+    """Per-step fused kernel: explicit selection only — at large batches XLA
+    pipelines the circulant build against the MXU dots better, and at small
+    batches the whole-rotation kernel (see below) wins outright."""
     if config.step_impl != "pallas":
         return False
     qualifies = (
@@ -91,34 +87,39 @@ def blind_rotate(
     b_til = (2 * n1 - modswitch(ct[:, n0], params)) % (2 * n1)  # [B]
     a_til = modswitch(ct[:, :n0], params)  # [B, n0]
 
-    if config.step_impl == "fused" and not precomputed:
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    if config.step_impl in ("fused", "auto") and not precomputed:
         from .pallas_blind_rotate import eligible, fused_blind_rotate, prepare_bsk_limbs
 
-        if not eligible(params, batch, testvec.ndim):
+        # The whole-rotation VMEM-resident kernel dominates at small/medium
+        # batches (one Mosaic program per step per 128-row tile vs ~150
+        # XLA op launches per step): measured on v5e, a padded-to-128 single
+        # gate takes 74 ms vs 296 ms (XLA) / 187 ms (Nussbaumer), and the
+        # kernel wins up to B ~ 1024 where XLA's build/matmul pipelining
+        # takes over. Batches pad up to the 128-row tile.
+        pad = (-batch) % 128
+        kernel_ok = eligible(params, batch + pad, testvec.ndim) and on_tpu
+        if config.step_impl == "fused" and not kernel_ok:
             raise ValueError("fused blind rotate: shape/testvec not eligible")
-        return fused_blind_rotate(
-            b_til.astype(jnp.int32),
-            a_til.T,
-            testvec,
-            prepare_bsk_limbs(bsk),
-            params,
-        )
+        if kernel_ok and (config.step_impl == "fused" or batch <= 1024):
+            b_p = jnp.pad(b_til.astype(jnp.int32), (0, pad))
+            a_p = jnp.pad(a_til.T, ((0, 0), (0, pad)))
+            acc = fused_blind_rotate(
+                b_p, a_p, testvec, prepare_bsk_limbs(bsk), params
+            )
+            return acc[:batch]
 
     tv = jnp.broadcast_to(testvec, (batch, 2, n1))
     acc0 = monomial_rotate(tv, b_til[:, None])
 
     use_pallas = not precomputed and _use_pallas_step(params, batch)
-    # "auto" picks Nussbaumer below the measured v5e crossover (B~64): its
-    # transforms scale with batch while the direct path's circulant build
-    # does not, so it wins 2.7x on single-gate latency and loses at scale.
-    # The crossover is TPU-measured; CPU keeps the direct path.
+    # Nussbaumer: transform path, platform-independent and testvec-agnostic;
+    # on "auto" it serves the small-batch cases the fused kernel cannot take
+    # (per-ciphertext LUT test vectors) on TPU.
     use_nussbaumer = not precomputed and (
         config.step_impl == "nussbaumer"
-        or (
-            config.step_impl == "auto"
-            and batch < 64
-            and jax.devices()[0].platform != "cpu"
-        )
+        or (config.step_impl == "auto" and batch < 64 and on_tpu)
     )
     if use_nussbaumer:
         from .nussbaumer import check_bounds, external_product_step, prepare_bsk_step
