@@ -92,17 +92,16 @@ def blind_rotate(
     if config.step_impl in ("fused", "auto") and not precomputed:
         from .pallas_blind_rotate import eligible, fused_blind_rotate, prepare_bsk_limbs
 
-        # The whole-rotation VMEM-resident kernel dominates at small/medium
-        # batches (one Mosaic program per step per 128-row tile vs ~150
-        # XLA op launches per step): measured on v5e, a padded-to-128 single
-        # gate takes 74 ms vs 296 ms (XLA) / 187 ms (Nussbaumer), and the
-        # kernel wins up to B ~ 1024 where XLA's build/matmul pipelining
-        # takes over. Batches pad up to the 128-row tile.
+        # The whole-rotation VMEM-resident kernel (with byte-packed limb
+        # builds) dominates at EVERY batch size on v5e: a padded single gate
+        # runs in 41 ms (vs 296 ms XLA), and throughput plateaus at ~4 450
+        # gates/s from batch 2048 (vs 2 460 for the XLA scan). One Mosaic
+        # program per (step, 128-row tile); batches pad up to the tile.
         pad = (-batch) % 128
         kernel_ok = eligible(params, batch + pad, testvec.ndim) and on_tpu
         if config.step_impl == "fused" and not kernel_ok:
             raise ValueError("fused blind rotate: shape/testvec not eligible")
-        if kernel_ok and (config.step_impl == "fused" or batch <= 1024):
+        if kernel_ok:
             b_p = jnp.pad(b_til.astype(jnp.int32), (0, pad))
             a_p = jnp.pad(a_til.T, ((0, 0), (0, pad)))
             acc = fused_blind_rotate(

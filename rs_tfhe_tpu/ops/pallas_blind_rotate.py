@@ -78,20 +78,19 @@ def _decompose_i8(diffs, params: TfheParams) -> jax.Array:
     return jnp.concatenate(cols, axis=-1)  # [FB, 2L*N]
 
 
-def _build_w_i8(x: jax.Array, blk: int) -> jax.Array:
-    """W[mi, c] = x[(c - mi) mod 2N] by log-doubling rolls.
-
-    Rolls run in int32: Mosaic rejects int8 rotates, and the int8-packed-as-
-    int32 lane bitcast that would cut the traffic 4x fails in the Pallas
-    transform layer ("cannot reshape"). This build is why the fused kernel
-    is VPU-bound — see module docstring for the cost analysis.
-    """
-    w = x[None, :].astype(jnp.int32)
+def _build_w_packed(x: jax.Array, blk: int) -> jax.Array:
+    """W[mi, c] = x[(c - mi) mod 2N] by log-doubling rolls on BYTE-PACKED
+    limbs: x is int32 with the 4 balanced int8 limb planes packed per
+    coefficient (prepare_bsk_limbs), so one int32 roll chain moves all four
+    planes at once — Mosaic rejects int8 rotates, and this recovers the 4x
+    traffic the int32 widening would otherwise cost. Limb q is recovered
+    with (w << (24-8q)) >> 24 (arithmetic)."""
+    w = x[None, :]
     k = 1
     while k < blk:
         w = jnp.concatenate([w, pltpu.roll(w, k, axis=1)], axis=0)
         k *= 2
-    return w.astype(jnp.int8)
+    return w
 
 
 def _kernel(tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams):
@@ -115,12 +114,18 @@ def _kernel(tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams)
     lhs = _decompose_i8(diffs, params)  # [FB, 2L*N] int8
 
     for o in range(2):
-        uacc = jnp.zeros((_FB, n), dtype=jnp.uint32)
-        for q in range(4):
-            acc_i = jnp.zeros((_FB, n), dtype=jnp.int32)
-            for j in range(j_rows):
-                w = _build_w_i8(bsk_ref[0, o, q, j, :], 128)  # [128, 2N]
-                w2 = jnp.concatenate([w, w], axis=1)  # [128, 4N]
+        acc_q = [jnp.zeros((_FB, n), dtype=jnp.int32) for _ in range(4)]
+        for j in range(j_rows):
+            # ONE roll chain per (o, j) on the byte-packed limbs (the 4 int8
+            # limb planes travel inside one int32 word), then unpack — 4x
+            # fewer int32 roll chains than per-(o, q, j) builds.
+            wp = _build_w_packed(bsk_ref[0, o, j, :], 128)  # [128, 2N] i32
+            lhs_j = lhs[:, j * n : (j + 1) * n]
+            for q in range(4):
+                wq = jax.lax.shift_right_arithmetic(
+                    jnp.left_shift(wp, jnp.int32(24 - 8 * q)), jnp.int32(24)
+                ).astype(jnp.int8)  # [128, 2N]
+                w2 = jnp.concatenate([wq, wq], axis=1)  # [128, 4N]
                 rhs = jnp.concatenate(
                     [
                         jax.lax.slice(
@@ -130,16 +135,18 @@ def _kernel(tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams)
                     ],
                     axis=0,
                 )  # [N, N]
-                acc_i += jax.lax.dot_general(
-                    lhs[:, j * n : (j + 1) * n],
+                acc_q[q] += jax.lax.dot_general(
+                    lhs_j,
                     rhs,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
+        uacc = jnp.zeros((_FB, n), dtype=jnp.uint32)
+        for q in range(4):
             shift = 8 * q
             if shift < TORUS_BITS:
                 uacc = uacc + (
-                    jax.lax.bitcast_convert_type(acc_i, jnp.uint32)
+                    jax.lax.bitcast_convert_type(acc_q[q], jnp.uint32)
                     << jnp.uint32(shift)
                 )
         out_ref[:, o, :] = acc[o] + uacc
@@ -155,9 +162,16 @@ def eligible(params: TfheParams, batch: int, testvec_ndim: int) -> bool:
 
 
 def prepare_bsk_limbs(bsk: jax.Array) -> jax.Array:
-    """uint32 [n0, 2L, 2, N] -> int8 [n0, 2, 4, 2L, 2N] kernel stream layout."""
-    xl = split_u32_limbs(negacyclic_extend(bsk))  # [n0, 2L, 2, 2N, 4]
-    return jnp.transpose(xl, (0, 2, 4, 1, 3))
+    """uint32 [n0, 2L, 2, N] -> int32 [n0, 2, 2L, 2N]: negacyclic extension,
+    balanced int8 limb-split, limbs byte-packed back into one int32 word per
+    coefficient (NOT the original u32 value — balanced limbs are signed)."""
+    xl = split_u32_limbs(negacyclic_extend(bsk))  # [n0, 2L, 2, 2N, 4] int8
+    u = jax.lax.bitcast_convert_type(xl, jnp.uint8).astype(jnp.uint32)
+    packed = (
+        u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16) | (u[..., 3] << 24)
+    )
+    packed = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    return jnp.transpose(packed, (0, 2, 1, 3))  # [n0, 2, 2L, 2N]
 
 
 @functools.partial(jax.jit, static_argnames=("params", "interpret"))
@@ -170,8 +184,8 @@ def fused_blind_rotate(
     interpret: bool = False,
 ) -> jax.Array:
     """b_til: int32 [B]; a_til: int32 [n0, B]; testvec: uint32 [2, N];
-    bsk_limbs: int8 [n0, 2, 4, 2L, 2N]. Returns the accumulator uint32
-    [B, 2, N] after all n0 CMUX steps."""
+    bsk_limbs: int32 [n0, 2, 2L, 2N] byte-packed limbs (prepare_bsk_limbs).
+    Returns the accumulator uint32 [B, 2, N] after all n0 CMUX steps."""
     n0 = a_til.shape[0]
     n = params.n1
     g = params.trgsw_lv1
@@ -191,8 +205,8 @@ def fused_blind_rotate(
                 (1, _FB, 1), lambda ft, st: (st, ft, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 2, 4, 2 * g.l, 2 * n),
-                lambda ft, st: (st, 0, 0, 0, 0),
+                (1, 2, 2 * g.l, 2 * n),
+                lambda ft, st: (st, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
