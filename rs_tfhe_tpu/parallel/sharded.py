@@ -46,14 +46,27 @@ from .mesh import BATCH_AXIS, MODEL_AXIS, batch_spec, pad_to_multiple, replicate
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("name", "impl"))
+@partial(jax.jit, static_argnames=("name", "mesh", "impl"))
 def _dp_gate(
-    name: str, a: jax.Array, b: jax.Array, ck: CloudKey, impl: str = "auto"
+    name: str, a: jax.Array, b: jax.Array, ck: CloudKey, mesh: Mesh,
+    impl: str = "auto",
 ) -> jax.Array:
     # `impl` keys the jit cache on config.step_impl (read at trace time
     # inside blind_rotate) — see gates._gate2.
     del impl
-    return _bootstrap(_LINEAR_FORMS[name](a, b), ck)
+
+    def shard_fn(a_l, b_l, ck_l):
+        return _bootstrap(_LINEAR_FORMS[name](a_l, b_l), ck_l)
+
+    # explicit shard_map (not sharding propagation): each device runs the
+    # whole bootstrap — including the fused Pallas kernel — on its local
+    # batch slice, with keys replicated. Zero collectives.
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(batch_spec(2), batch_spec(2), P()),
+        out_specs=batch_spec(2),
+    )(a, b, ck)
 
 
 def data_parallel_gate(
@@ -72,7 +85,7 @@ def data_parallel_gate(
     a_sh = shard_batch(a_pad, mesh)
     b_sh = shard_batch(b_pad, mesh)
     ck_rep = replicate(ck, mesh)
-    return _dp_gate(name, a_sh, b_sh, ck_rep, config.step_impl)[:size]
+    return _dp_gate(name, a_sh, b_sh, ck_rep, mesh, config.step_impl)[:size]
 
 
 # ---------------------------------------------------------------------------
