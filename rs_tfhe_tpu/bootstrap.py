@@ -29,7 +29,8 @@ def bootstrap(ct: jax.Array, ck: CloudKey) -> jax.Array:
     ct: uint32 [..., n0+1] -> uint32 [..., n0+1]. Reference: vanilla.rs:40-52.
     """
     flat, restore = _flat(ct)
-    acc = blind_rotate(flat, ck.testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
+    acc = blind_rotate(flat, ck.testvec, ck.blind_rotate_bsk, ck.params,
+                       ck.precomputed, ck.bsk_packed)
     lv1 = sample_extract(acc, 0)
     return restore(identity_key_switch(lv1, ck.ksk_limbs, ck.params))
 
@@ -43,7 +44,8 @@ def bootstrap_without_key_switch(ct: jax.Array, ck: CloudKey) -> jax.Array:
     once (see gates.mux).
     """
     flat, restore = _flat(ct)
-    acc = blind_rotate(flat, ck.testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
+    acc = blind_rotate(flat, ck.testvec, ck.blind_rotate_bsk, ck.params,
+                       ck.precomputed, ck.bsk_packed)
     return restore(sample_extract(acc, 0))
 
 
@@ -56,7 +58,8 @@ def bootstrap_with_testvec(ct: jax.Array, testvec: jax.Array, ck: CloudKey) -> j
     flat, restore = _flat(ct)
     if testvec.ndim > 2:
         testvec = testvec.reshape(-1, *testvec.shape[-2:])
-    acc = blind_rotate(flat, testvec, ck.blind_rotate_bsk, ck.params, ck.precomputed)
+    acc = blind_rotate(flat, testvec, ck.blind_rotate_bsk, ck.params,
+                       ck.precomputed, ck.bsk_packed)
     lv1 = sample_extract(acc, 0)
     return restore(identity_key_switch(lv1, ck.ksk_limbs, ck.params))
 

@@ -29,10 +29,11 @@ class Config:
     dot_impl: str = os.environ.get("RS_TFHE_DOT_IMPL", "int8")
     bsk_mode: str = os.environ.get("RS_TFHE_BSK_MODE", "onthefly")
     #: blind-rotation implementation:
-    #:   "auto"       — batch-aware: the whole-rotation VMEM kernel up to
-    #:                  batch 1024 (padded to 128-row tiles; TPU, shared
-    #:                  testvec), Nussbaumer for small per-ciphertext-LUT
-    #:                  batches, the dot_general circulant path otherwise;
+    #:   "auto"       — the whole-rotation VMEM kernel whenever eligible
+    #:                  (TPU, shared testvec, digit_limbs == 1; batches pad
+    #:                  to 128-row tiles), Nussbaumer for small
+    #:                  per-ciphertext-LUT batches, the dot_general
+    #:                  circulant path otherwise;
     #:   "xla"        — force the dot_general circulant path;
     #:   "nussbaumer" — force the Nussbaumer transform path
     #:                  (ops/nussbaumer.py);

@@ -54,6 +54,9 @@ class CloudKey:
     bsk: jax.Array  # uint32 [n0, 2L, 2, N]
     bsk_prepared: Optional[jax.Array]  # int8 [n0, 2, 4, 2L*N, N] or None
     params: TfheParams = dataclasses.field(metadata=dict(static=True))
+    #: byte-packed limb form for the fused blind-rotation kernel
+    #: (ops/pallas_blind_rotate.prepare_bsk_limbs); derived, not serialized
+    bsk_packed: Optional[jax.Array] = None  # int32 [n0, 2, 2L, 2N]
 
     @property
     def precomputed(self) -> bool:
@@ -76,12 +79,15 @@ class CloudKey:
         ksk_limbs = gen_key_switching_key(k_ksk, sk)
         bsk = gen_bootstrapping_key(k_bsk, sk)
         prepared = prepare_bsk(bsk) if precompute_circulants else None
+        from .ops.pallas_blind_rotate import prepare_bsk_limbs
+
         return CloudKey(
             testvec=gen_testvec(params),
             ksk_limbs=ksk_limbs,
             bsk=bsk,
             bsk_prepared=prepared,
             params=params,
+            bsk_packed=prepare_bsk_limbs(bsk),
         )
 
     @staticmethod

@@ -70,11 +70,14 @@ def blind_rotate(
     bsk: jax.Array,
     params: TfheParams,
     precomputed: bool = False,
+    bsk_packed=None,
 ) -> jax.Array:
     """Blind-rotate a batch of lv0 LWE ciphertexts.
 
     ct:      uint32 [B, n0+1]
     testvec: uint32 [2, N] (shared) or [B, 2, N] (per-ciphertext LUTs)
+    bsk_packed: optional int32 [n0, 2, 2L, 2N] byte-packed limb form for the
+             fused kernel (CloudKey precomputes it; packed on the fly if None)
     bsk:     onthefly:    uint32 [n0, 2L, 2, N]   (TRGSW coefficient polys)
              precomputed: int8   [n0, 2, 4, 2L*N, N] (step matrices)
     Returns the accumulator TRLWE batch, uint32 [B, 2, N].
@@ -87,7 +90,7 @@ def blind_rotate(
     b_til = (2 * n1 - modswitch(ct[:, n0], params)) % (2 * n1)  # [B]
     a_til = modswitch(ct[:, :n0], params)  # [B, n0]
 
-    on_tpu = jax.devices()[0].platform != "cpu"
+    on_tpu = jax.devices()[0].platform == "tpu"
 
     if config.step_impl in ("fused", "auto") and not precomputed:
         from .pallas_blind_rotate import eligible, fused_blind_rotate, prepare_bsk_limbs
@@ -98,15 +101,17 @@ def blind_rotate(
         # gates/s from batch 2048 (vs 2 460 for the XLA scan). One Mosaic
         # program per (step, 128-row tile); batches pad up to the tile.
         pad = (-batch) % 128
-        kernel_ok = eligible(params, batch + pad, testvec.ndim) and on_tpu
-        if config.step_impl == "fused" and not kernel_ok:
-            raise ValueError("fused blind rotate: shape/testvec not eligible")
-        if kernel_ok:
+        shapes_ok = eligible(params, batch + pad, testvec.ndim)
+        if config.step_impl == "fused":
+            if not shapes_ok:
+                raise ValueError("fused blind rotate: shape/testvec not eligible")
+            if not on_tpu:
+                raise ValueError("fused blind rotate: Mosaic kernel requires TPU")
+        if shapes_ok and on_tpu:
             b_p = jnp.pad(b_til.astype(jnp.int32), (0, pad))
             a_p = jnp.pad(a_til.T, ((0, 0), (0, pad)))
-            acc = fused_blind_rotate(
-                b_p, a_p, testvec, prepare_bsk_limbs(bsk), params
-            )
+            packed = bsk_packed if bsk_packed is not None else prepare_bsk_limbs(bsk)
+            acc = fused_blind_rotate(b_p, a_p, testvec, packed, params)
             return acc[:batch]
 
     tv = jnp.broadcast_to(testvec, (batch, 2, n1))

@@ -78,12 +78,15 @@ def load_cloud_key(path, precompute_circulants: bool = False) -> CloudKey:
         _check(z, "cloud")
         params = params_from_dict(json.loads(str(z["params"])))
         bsk = jnp.asarray(z["bsk"])
+        from ..ops.pallas_blind_rotate import prepare_bsk_limbs
+
         return CloudKey(
             testvec=jnp.asarray(z["testvec"]),
             ksk_limbs=jnp.asarray(z["ksk_limbs"]),
             bsk=bsk,
             bsk_prepared=prepare_bsk(bsk) if precompute_circulants else None,
             params=params,
+            bsk_packed=prepare_bsk_limbs(bsk),
         )
 
 
