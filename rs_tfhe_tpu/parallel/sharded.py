@@ -60,12 +60,14 @@ def _dp_gate(
 
     # explicit shard_map (not sharding propagation): each device runs the
     # whole bootstrap — including the fused Pallas kernel — on its local
-    # batch slice, with keys replicated. Zero collectives.
+    # batch slice, with keys replicated. Zero collectives. check_vma=False:
+    # pallas_call outputs carry no varying-across-mesh annotations.
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(batch_spec(2), batch_spec(2), P()),
         out_specs=batch_spec(2),
+        check_vma=False,
     )(a, b, ck)
 
 
