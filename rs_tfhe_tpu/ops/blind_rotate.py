@@ -110,8 +110,13 @@ def blind_rotate(
         if shapes_ok and on_tpu:
             b_p = jnp.pad(b_til.astype(jnp.int32), (0, pad))
             a_p = jnp.pad(a_til.T, ((0, 0), (0, pad)))
+            tv = (
+                jnp.pad(testvec, ((0, pad), (0, 0), (0, 0)))
+                if testvec.ndim == 3
+                else testvec
+            )
             packed = bsk_packed if bsk_packed is not None else prepare_bsk_limbs(bsk)
-            acc = fused_blind_rotate(b_p, a_p, testvec, packed, params)
+            acc = fused_blind_rotate(b_p, a_p, tv, packed, params)
             return acc[:batch]
 
     tv = jnp.broadcast_to(testvec, (batch, 2, n1))

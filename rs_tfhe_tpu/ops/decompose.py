@@ -20,7 +20,13 @@ def gadget_decompose(x: jax.Array, params: TfheParams) -> jax.Array:
     (trgsw.rs:158-168). Digits lie in [-Bg/2, Bg/2).
     """
     g = params.trgsw_lv1
-    tmp = x + jnp.uint32(params.decomposition_offset)
+    # offset balances the digits; round_bit centers the dropped-bits error
+    # (see params.decomposition_round_bit — deviation from the reference
+    # that removes its dominant blind-rotation noise term)
+    tmp = x + jnp.uint32(
+        (params.decomposition_offset + params.decomposition_round_bit)
+        & 0xFFFFFFFF
+    )
     mask = jnp.uint32(g.bg - 1)
     half = jnp.int32(g.half_bg)
     digits = []

@@ -67,7 +67,10 @@ def _decompose_i8(diffs, params: TfheParams) -> jax.Array:
     g = params.trgsw_lv1
     mask = jnp.uint32(g.bg - 1)
     half = jnp.int32(g.half_bg)
-    offset = jnp.uint32(params.decomposition_offset)
+    offset = jnp.uint32(
+        (params.decomposition_offset + params.decomposition_round_bit)
+        & 0xFFFFFFFF
+    )
     cols = []
     for poly in range(2):
         tmp = diffs[poly] + offset
@@ -93,7 +96,10 @@ def _build_w_packed(x: jax.Array, blk: int) -> jax.Array:
     return w
 
 
-def _kernel(tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams):
+def _kernel(
+    tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams,
+    per_ct_tv: bool = False,
+):
     n = params.n1
     g = params.trgsw_lv1
     j_rows = 2 * g.l
@@ -105,7 +111,10 @@ def _kernel(tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams)
     @pl.when(step == 0)
     def _init():
         for poly in range(2):
-            tv = jnp.broadcast_to(tv_ref[poly, :][None, :], (_FB, n))
+            if per_ct_tv:
+                tv = tv_ref[:, poly, :]  # [FB, N] per-ciphertext LUTs
+            else:
+                tv = jnp.broadcast_to(tv_ref[poly, :][None, :], (_FB, n))
             out_ref[:, poly, :] = _barrel_rotate_2d(tv, b_k, n)
 
     a_k = atil_ref[0, :, :]  # [FB, 1] int32
@@ -157,7 +166,7 @@ def eligible(params: TfheParams, batch: int, testvec_ndim: int) -> bool:
         params.digit_limbs == 1
         and params.n1 % 128 == 0
         and batch % _FB == 0
-        and testvec_ndim == 2
+        and testvec_ndim in (2, 3)  # shared or per-ciphertext test vectors
     )
 
 
@@ -183,21 +192,28 @@ def fused_blind_rotate(
     params: TfheParams,
     interpret: bool = False,
 ) -> jax.Array:
-    """b_til: int32 [B]; a_til: int32 [n0, B]; testvec: uint32 [2, N];
-    bsk_limbs: int32 [n0, 2, 2L, 2N] byte-packed limbs (prepare_bsk_limbs).
-    Returns the accumulator uint32 [B, 2, N] after all n0 CMUX steps."""
+    """b_til: int32 [B]; a_til: int32 [n0, B]; testvec: uint32 [2, N]
+    (shared) or [B, 2, N] (per-ciphertext LUTs); bsk_limbs: int32
+    [n0, 2, 2L, 2N] byte-packed limbs (prepare_bsk_limbs). Returns the
+    accumulator uint32 [B, 2, N] after all n0 CMUX steps."""
     n0 = a_til.shape[0]
     n = params.n1
     g = params.trgsw_lv1
     batch = b_til.shape[0]
     assert batch % _FB == 0
+    per_ct_tv = testvec.ndim == 3
 
-    kernel = functools.partial(_kernel, params=params)
+    kernel = functools.partial(_kernel, params=params, per_ct_tv=per_ct_tv)
+    tv_spec = (
+        pl.BlockSpec((_FB, 2, n), lambda ft, st: (ft, 0, 0), memory_space=pltpu.VMEM)
+        if per_ct_tv
+        else pl.BlockSpec((2, n), lambda ft, st: (0, 0), memory_space=pltpu.VMEM)
+    )
     return pl.pallas_call(
         kernel,
         grid=(batch // _FB, n0),
         in_specs=[
-            pl.BlockSpec((2, n), lambda ft, st: (0, 0), memory_space=pltpu.VMEM),
+            tv_spec,
             pl.BlockSpec(
                 (1, _FB, 1), lambda ft, st: (0, ft, 0), memory_space=pltpu.VMEM
             ),

@@ -65,7 +65,11 @@ def test_native_decompose_matches_jax(tiny, rng):
 
     g = tiny.trgsw_lv1
     x = rng.integers(0, 1 << 32, (3, 2, tiny.n1), dtype=np.uint32)
-    got = native.gadget_decompose(x, g.l, g.bgbit, tiny.decomposition_offset)
+    # native takes the combined offset (balance + rounding half-bit)
+    got = native.gadget_decompose(
+        x, g.l, g.bgbit,
+        tiny.decomposition_offset + tiny.decomposition_round_bit,
+    )
     exp = np.asarray(gadget_decompose(jnp.asarray(x), tiny))  # [3, 2L, N]
     # native layout: [l, 3, 2, N]; jax layout: [3, 2L, N] with a-digits then
     # b-digits interleaved as [2, L] -> compare per (poly, digit)
