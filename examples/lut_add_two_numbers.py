@@ -13,8 +13,8 @@ from rs_tfhe_tpu import models
 def main():
     args = parse_args(__doc__, x=137, y=205)
     sk, ck = make_keys(args.param_set)
-    base_bits = 4 if args.param_set.n1 >= 1024 else 2
-    num_digits = 8 // base_bits if base_bits == 4 else 2
+    base_bits = 3 if args.param_set.n1 >= 1024 else 2
+    num_digits = -(-8 // base_bits)  # ceil: 3 digits of 3 bits covers 8-bit
     mod = 1 << (base_bits * num_digits)
 
     a = models.encrypt_radix(jax.random.key(2), sk.lv0, args.x % mod, num_digits, args.param_set, base_bits)

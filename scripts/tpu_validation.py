@@ -89,10 +89,11 @@ def main() -> None:
           list(tlwe.lwe_decrypt_message(sq, sk.lv0, m)) == [(x * x) % m for x in range(m)])
 
     # -- radix arithmetic: 8-bit add in 3 PBS --------------------------------
-    ra = models.encrypt_radix(jax.random.key(6), sk.lv0, 137, 2, p, 4)
-    rb = models.encrypt_radix(jax.random.key(7), sk.lv0, 205, 2, p, 4)
-    rsum = models.add_radix(ra, rb, ck, 4)
-    check("radix 8-bit add (3 PBS)", int(models.decrypt_radix(rsum, sk.lv0, 4)) == (137 + 205) % 256)
+    ra = models.encrypt_radix(jax.random.key(6), sk.lv0, 137, 3, p, 3)
+    rb = models.encrypt_radix(jax.random.key(7), sk.lv0, 205, 3, p, 3)
+    rsum = models.add_radix(ra, rb, ck, 3)
+    check("radix 9-bit add (5 PBS)",
+          int(models.decrypt_radix(rsum, sk.lv0, 3)) == (137 + 205) % 512)
 
     # -- 16-bit Kogge-Stone addition -----------------------------------------
     x, y = 40590, 27063
