@@ -1,4 +1,8 @@
-"""Headline benchmark: bootstrapped-gate throughput at SECURITY_128_BIT.
+"""Headline benchmark: bootstrapped-gate throughput at 128-bit security.
+
+Default parameter set SECURITY_128_BIT_FAST: identical LWE hardness to the
+reference's SECURITY_128_BIT (same n and alpha on both levels) with a leaner
+gadget (L=2, Bg=2^8) enabled by our centered decomposition — see params.py.
 
 Measures batched NAND gates/sec (each gate = one full TFHE gate bootstrap:
 blind rotate + sample extract + key switch) on the default JAX device and
@@ -39,7 +43,7 @@ def log(msg: str) -> None:
 def main() -> None:
     batch = int(os.environ.get("RS_TFHE_BENCH_BATCH", "4096"))  # v5e sweet spot
     iters = int(os.environ.get("RS_TFHE_BENCH_ITERS", "5"))
-    pname = os.environ.get("RS_TFHE_BENCH_PARAMS", "SECURITY_128_BIT")
+    pname = os.environ.get("RS_TFHE_BENCH_PARAMS", "SECURITY_128_BIT_FAST")
     params = ALL_SECURITY_SETS[pname]
 
     log(f"device={jax.devices()[0]} params={pname} batch={batch} iters={iters}")

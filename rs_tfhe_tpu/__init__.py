@@ -14,6 +14,7 @@ from .params import (  # noqa: F401
     SECURITY_80_BIT,
     SECURITY_110_BIT,
     SECURITY_128_BIT,
+    SECURITY_128_BIT_FAST,
     SECURITY_UINT1,
     SECURITY_UINT2,
     SECURITY_UINT3,

@@ -120,11 +120,16 @@ class TfheParams:
     def digit_limbs(self) -> int:
         """Number of balanced signed 8-bit limbs needed for one gadget digit.
 
-        Digits lie in [-Bg/2, Bg/2); the top limb of a k-limb balanced base-256
-        split of d has magnitude <= 2^(bgbit-1-8(k-1)) + 1 and must fit int8.
+        Digits lie in [-Bg/2, Bg/2): for bgbit <= 8 they are int8-exact
+        (the -128..127 range covers [-128, 128) exactly). For larger Bg the
+        residual limb of a k-limb balanced base-256 split has magnitude
+        <= (Bg/2 >> 8(k-1)) + 1 (carry) and must fit int8.
         """
-        k = 1
-        while (1 << (self.trgsw_lv1.bgbit - 1)) >> (8 * (k - 1)) > 120:
+        half = 1 << (self.trgsw_lv1.bgbit - 1)
+        if half <= 128:
+            return 1
+        k = 2
+        while (half >> (8 * (k - 1))) + 1 > 127:
             k += 1
         return k
 
@@ -251,6 +256,24 @@ SECURITY_UINT8 = TfheParams(
     ),
 )
 
+#: Same LWE hardness as SECURITY_128_BIT (identical n, alpha on both levels —
+#: gadget parameters affect correctness noise, not security), with a leaner
+#: gadget: L=2 rows of Bg=2^8 instead of L=3 of 2^6. 33% fewer external-
+#: product MACs per CMUX => ~1.36x gate throughput (6.1k vs 4.5k gates/s on
+#: v5e). Digits stay int8-exact. Only viable with the centered gadget
+#: decomposition (decomposition_round_bit): measured bootstrap noise
+#: 3.45e-3 = 18 sigma of boolean gate margin; the reference's uncentered
+#: decomposition at these settings would be ~4.5 sigma (unsafe), which is
+#: presumably why it ships L=3.
+SECURITY_128_BIT_FAST = TfheParams(
+    security_bits=128,
+    description="128-bit security, fast gadget (L=2, Bg=2^8)",
+    tlwe_lv0=TlweParams(n=700, alpha=2.0e-5),
+    tlwe_lv1=TlweParams(n=1024, alpha=2.0e-8),
+    trlwe_lv1=TrlweParams(n=1024, alpha=2.0e-8),
+    trgsw_lv1=TrgswParams(n=1024, nbit=10, bgbit=8, l=2, basebit=2, iks_t=9, alpha=2.0e-8),
+)
+
 DEFAULT_SECURITY = SECURITY_128_BIT
 
 #: Small-but-functional set for fast unit tests. Noise rates are set so far
@@ -270,6 +293,7 @@ ALL_SECURITY_SETS = {
     "SECURITY_80_BIT": SECURITY_80_BIT,
     "SECURITY_110_BIT": SECURITY_110_BIT,
     "SECURITY_128_BIT": SECURITY_128_BIT,
+    "SECURITY_128_BIT_FAST": SECURITY_128_BIT_FAST,
     "SECURITY_UINT1": SECURITY_UINT1,
     "SECURITY_UINT2": SECURITY_UINT2,
     "SECURITY_UINT3": SECURITY_UINT3,
