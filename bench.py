@@ -10,7 +10,7 @@ prints ONE JSON line. Baseline: the reference's ~15 ms/gate single-core claim
 (rs-tfhe README.md:217, BASELINE.md) = 66.7 gates/sec.
 
 Env overrides: RS_TFHE_BENCH_BATCH (default 4096), RS_TFHE_BENCH_ITERS
-(default 5), RS_TFHE_BENCH_PARAMS (default SECURITY_128_BIT).
+(default 5), RS_TFHE_BENCH_PARAMS (default SECURITY_128_BIT_FAST).
 """
 
 from __future__ import annotations

@@ -123,9 +123,11 @@ def blind_rotate(
     acc0 = monomial_rotate(tv, b_til[:, None])
 
     use_pallas = not precomputed and _use_pallas_step(params, batch)
-    # Nussbaumer: transform path, platform-independent and testvec-agnostic;
-    # on "auto" it serves the small-batch cases the fused kernel cannot take
-    # (per-ciphertext LUT test vectors) on TPU.
+    # Nussbaumer: transform path, platform-independent and testvec-agnostic.
+    # The fused kernel above handles per-ciphertext LUT test vectors too, so
+    # on TPU with digit_limbs == 1 this branch only fires for shapes the
+    # kernel rejects (N % 128 != 0); its main jobs are multi-limb parameter
+    # sets (bgbit > 8) and the explicit step_impl="nussbaumer" override.
     use_nussbaumer = not precomputed and (
         config.step_impl == "nussbaumer"
         or (config.step_impl == "auto" and batch < 64 and on_tpu)

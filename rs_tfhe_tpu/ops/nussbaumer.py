@@ -77,8 +77,9 @@ def _inv_fold_div(ch: jax.Array, m: int, r: int) -> jax.Array:
 
 def check_bounds(params: TfheParams) -> bool:
     """Exactness conditions: raw digits must fit the int16 transform
-    (half_bg * r < 2^15, so bgbit <= 11 with r = 8 — the boolean sets) and
-    2r * |conv per int8 limb| must fit int32 for the exact division."""
+    (half_bg * r < 2^15, i.e. bgbit <= 12 with r = 8 — all boolean sets
+    qualify) and 2r * |conv per int8 limb| must fit int32 for the exact
+    division."""
     g = params.trgsw_lv1
     if g.half_bg * R >= (1 << 15):
         return False

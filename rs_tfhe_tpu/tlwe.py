@@ -99,19 +99,29 @@ def lwe_neg(x):
     return neg_torus(x)
 
 
+def _u32_scalar(multiplier: int) -> jnp.uint32:
+    """Wrap a Python int (possibly negative) to uint32 mod 2^32."""
+    return jnp.uint32(multiplier & 0xFFFFFFFF)
+
+
 def lwe_mul(x, multiplier: int):
-    """Scalar multiply (reference Mul, tlwe.rs:160-176)."""
-    return x * jnp.uint32(multiplier)
+    """Scalar multiply of a ciphertext by a known integer, mod 2^32.
+
+    No direct reference analog (the reference's Mul, tlwe.rs:160-176, is
+    elementwise ciphertext*ciphertext used only by tests); the scalar form
+    here is what AddMul/SubMul factor through. Negative multipliers wrap.
+    """
+    return x * _u32_scalar(multiplier)
 
 
 def lwe_add_mul(x, y, multiplier: int):
     """x + multiplier*y (reference AddMul, tlwe.rs:185-195)."""
-    return x + y * jnp.uint32(multiplier)
+    return x + y * _u32_scalar(multiplier)
 
 
 def lwe_sub_mul(x, y, multiplier: int):
     """x - multiplier*y (reference SubMul, tlwe.rs:204-214)."""
-    return x - y * jnp.uint32(multiplier)
+    return x - y * _u32_scalar(multiplier)
 
 
 def lwe_add_bias(ct, bias: int):

@@ -36,6 +36,7 @@ class NoiseEstimate:
     bootstrap_out_std: float  # after blind rotate + extract + key switch
     gate_input_std: float  # linear form of two bootstrapped ciphertexts
     gate_fail_prob: float  # per-ciphertext probability of a wrong gate output
+    mux_fail_prob: float = 0.0  # per-ciphertext MUX failure (2-PBS composition)
 
     def bits_of_margin(self) -> float:
         """How many sigmas fit in the gate decision margin."""
@@ -47,7 +48,19 @@ def _erfc(x: float) -> float:
 
 
 def estimate(params: TfheParams) -> NoiseEstimate:
-    """Analytic noise budget for gate bootstrapping at these parameters."""
+    """Analytic noise budget for gate bootstrapping at these parameters.
+
+    Models the CENTERED gadget decomposition this implementation uses
+    (params.decomposition_round_bit): the reconstruction error per
+    coefficient is uniform in +/-eps with eps = 2^-(l*bgbit+1), variance
+    eps^2/3, and carries NO bias — so there is no deterministic
+    bias-times-secret ramp (the reference's truncating decomposition has
+    one; see NOTES-PERF.md). Digits are ~uniform in [-Bg/2, Bg/2), so
+    their mean square is Bg^2/12 rather than the worst-case (Bg/2)^2.
+    Cross-validated against measure_phase_noise: SECURITY_128_BIT_FAST
+    predicts 3.7e-3 bootstrap std vs 3.45e-3 measured (params.py), and
+    tests/test_noise.py checks the tiny-set measurement each run.
+    """
     g = params.trgsw_lv1
     n0, n1 = params.n0, params.n1
     bg = float(g.bg)
@@ -58,10 +71,16 @@ def estimate(params: TfheParams) -> NoiseEstimate:
     var_ksk = params.ksk_alpha ** 2
 
     # Blind rotation: n0 CMUX steps; each external product adds
-    #   2 * l * N * (Bg/2)^2 * var_bsk   (decomposition digit noise)
-    # + (1 + N) * eps^2                  (gadget rounding, eps = 1/(2 Bg^l))
-    eps2 = (1.0 / (2.0 * bg**l)) ** 2
-    var_per_cmux = 2.0 * l * n1 * (bg / 2.0) ** 2 * var_bsk + (1.0 + n1) * eps2
+    #   2 * l * N * E[digit^2] * var_bsk   (BSK noise times the digits)
+    # + E[s_i] * (1 + N/2) * eps^2 / 3     (centered gadget rounding: the
+    #   a-poly error convolves with the ~N/2-weight binary secret, the
+    #   b-poly error passes through; both only when the key bit s_i = 1)
+    eps2_c = 2.0 ** (-2.0 * (l * g.bgbit + 1))
+    var_digit = bg * bg / 12.0
+    var_per_cmux = (
+        2.0 * l * n1 * var_digit * var_bsk
+        + 0.5 * (1.0 + n1 / 2.0) * eps2_c / 3.0
+    )
     var_br = n0 * var_per_cmux
 
     # Key switching lv1 -> lv0: N * t * var_ksk + N * 2^-2(t*basebit+1) rounding
@@ -80,11 +99,27 @@ def estimate(params: TfheParams) -> NoiseEstimate:
     margin = 1.0 / 16.0
     p_fail = _erfc(margin / (math.sqrt(2.0) * sigma))
 
+    # MUX (gates.mux, 3 rotations): u1/u2 are keyswitch-free bootstrap
+    # outputs (lv1 width, var_br each, no var_ks); the final full bootstrap
+    # sees u1 + u2 + 1/8 with lv1-width modswitch rounding. Inputs a, b, c
+    # are bootstrapped cts, whose noise enters the two inner linear forms.
+    var_mux_stage1 = 2.0 * var_out + var_modswitch  # a+b-1/8 rotation margin
+    var_mux_final = (
+        2.0 * var_br + (n1 + 1) * (1.0 / (2.0 * n1)) ** 2 / 12.0
+    )
+    sig1 = math.sqrt(var_mux_stage1)
+    sig2 = math.sqrt(var_mux_final)
+    # 3 decision events: two inner rotations + the final one; union bound
+    p_mux = 2.0 * _erfc(margin / (math.sqrt(2.0) * sig1)) + _erfc(
+        margin / (math.sqrt(2.0) * sig2)
+    )
+
     return NoiseEstimate(
         fresh_lv0_std=math.sqrt(var_fresh0),
         bootstrap_out_std=math.sqrt(var_out),
         gate_input_std=sigma,
         gate_fail_prob=p_fail,
+        mux_fail_prob=min(p_mux, 1.0),
     )
 
 

@@ -50,6 +50,19 @@ def test_linear_operators(tiny, sk, rng):
             == pa - pb * jnp.uint32(2)
         )
     )
+    # negative multipliers wrap mod 2^32 instead of raising (NumPy 2
+    # uint32(-k) semantics; lwe_mul masks explicitly)
+    assert bool(
+        jnp.all(
+            tlwe.lwe_phase(tlwe.lwe_mul(a, -3), sk.lv0)
+            == pa * jnp.uint32((-3) & 0xFFFFFFFF)
+        )
+    )
+    assert bool(
+        jnp.all(
+            tlwe.lwe_phase(tlwe.lwe_add_mul(a, b, -1), sk.lv0) == pa - pb
+        )
+    )
 
 
 def test_lwe_message_roundtrip(tiny, sk, rng):
