@@ -147,10 +147,33 @@ def gen_bootstrapping_key(key: jax.Array, sk: SecretKey) -> jax.Array:
     """TRGSW-encrypt each bit of s0 under s1 (reference key.rs:124-156).
 
     The reference fans this out over a rayon pool with thread-local FFT plans;
-    here the n0 encryptions are one batched tensor op.
+    here the n0 encryptions are one batched tensor op. If the parameter set
+    requests BSK rounding (params.bsk_round_bits), the rows are generated as
+    reduced-modulus samples — mask on the 2^rb grid, body rounded to it —
+    so every consumer (XLA scan, Nussbaumer, fused kernel, serialization)
+    sees the same 24-bit key and the fused kernel can skip the zero low
+    limb planes. NOT post-hoc rounding: rounding a full-torus mask after
+    encryption would inject an error*secret term amplified ~N/2x (measured
+    0.8% gate failures); grid sampling keeps a (*) s exact.
     """
     params = sk.params
-    return trgsw_encrypt_torus(key, sk.lv1, sk.lv0, params.bsk_alpha, params)
+    return trgsw_encrypt_torus(
+        key, sk.lv1, sk.lv0, params.bsk_alpha, params,
+        mask_grid_bits=params.bsk_round_bits,
+    )
+
+
+def round_bsk(bsk: jax.Array, round_bits: int) -> jax.Array:
+    """Round every BSK coefficient to 32 - round_bits torus bits (to
+    nearest, wrapping). Test helper for the fused kernel's drop_limbs
+    contract — real key generation uses grid sampling instead
+    (gen_bootstrapping_key), which avoids the mask-rounding-error-times-
+    secret term that post-hoc rounding would inject."""
+    if round_bits <= 0:
+        return bsk
+    half = jnp.uint32(1 << (round_bits - 1))
+    rb = jnp.uint32(round_bits)
+    return ((bsk + half) >> rb) << rb
 
 
 def prepare_bsk(bsk: jax.Array) -> jax.Array:

@@ -116,7 +116,10 @@ def blind_rotate(
                 else testvec
             )
             packed = bsk_packed if bsk_packed is not None else prepare_bsk_limbs(bsk)
-            acc = fused_blind_rotate(b_p, a_p, tv, packed, params)
+            acc = fused_blind_rotate(
+                b_p, a_p, tv, packed, params,
+                drop_limbs=params.bsk_round_bits // 8,
+            )
             return acc[:batch]
 
     tv = jnp.broadcast_to(testvec, (batch, 2, n1))

@@ -98,7 +98,7 @@ def _build_w_packed(x: jax.Array, blk: int) -> jax.Array:
 
 def _kernel(
     tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams,
-    per_ct_tv: bool = False,
+    per_ct_tv: bool = False, drop_limbs: int = 0, fb: int = _FB,
 ):
     n = params.n1
     g = params.trgsw_lv1
@@ -114,7 +114,7 @@ def _kernel(
             if per_ct_tv:
                 tv = tv_ref[:, poly, :]  # [FB, N] per-ciphertext LUTs
             else:
-                tv = jnp.broadcast_to(tv_ref[poly, :][None, :], (_FB, n))
+                tv = jnp.broadcast_to(tv_ref[poly, :][None, :], (fb, n))
             out_ref[:, poly, :] = _barrel_rotate_2d(tv, b_k, n)
 
     a_k = atil_ref[0, :, :]  # [FB, 1] int32
@@ -123,14 +123,19 @@ def _kernel(
     lhs = _decompose_i8(diffs, params)  # [FB, 2L*N] int8
 
     for o in range(2):
-        acc_q = [jnp.zeros((_FB, n), dtype=jnp.int32) for _ in range(4)]
+        acc_q = [jnp.zeros((fb, n), dtype=jnp.int32) for _ in range(4)]
         for j in range(j_rows):
             # ONE roll chain per (o, j) on the byte-packed limbs (the 4 int8
             # limb planes travel inside one int32 word), then unpack — 4x
             # fewer int32 roll chains than per-(o, q, j) builds.
             wp = _build_w_packed(bsk_ref[0, o, j, :], 128)  # [128, 2N] i32
             lhs_j = lhs[:, j * n : (j + 1) * n]
-            for q in range(4):
+            # drop_limbs > 0: the BSK is a reduced-modulus key (low bytes
+            # zero — grid-sampled mask + rounded body, key.py), so the low
+            # limb planes are identically zero and their MXU dots are
+            # skipped — 25% fewer MACs at drop_limbs=1 with noise far below
+            # the decryption margin (utils/noise.py models the term).
+            for q in range(drop_limbs, 4):
                 wq = jax.lax.shift_right_arithmetic(
                     jnp.left_shift(wp, jnp.int32(24 - 8 * q)), jnp.int32(24)
                 ).astype(jnp.int8)  # [128, 2N]
@@ -150,8 +155,8 @@ def _kernel(
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-        uacc = jnp.zeros((_FB, n), dtype=jnp.uint32)
-        for q in range(4):
+        uacc = jnp.zeros((fb, n), dtype=jnp.uint32)
+        for q in range(drop_limbs, 4):
             shift = 8 * q
             if shift < TORUS_BITS:
                 uacc = uacc + (
@@ -183,7 +188,9 @@ def prepare_bsk_limbs(bsk: jax.Array) -> jax.Array:
     return jnp.transpose(packed, (0, 2, 1, 3))  # [n0, 2, 2L, 2N]
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret", "drop_limbs", "fb")
+)
 def fused_blind_rotate(
     b_til: jax.Array,
     a_til: jax.Array,
@@ -191,34 +198,41 @@ def fused_blind_rotate(
     bsk_limbs: jax.Array,
     params: TfheParams,
     interpret: bool = False,
+    drop_limbs: int = 0,
+    fb: int = _FB,
 ) -> jax.Array:
     """b_til: int32 [B]; a_til: int32 [n0, B]; testvec: uint32 [2, N]
     (shared) or [B, 2, N] (per-ciphertext LUTs); bsk_limbs: int32
     [n0, 2, 2L, 2N] byte-packed limbs (prepare_bsk_limbs). Returns the
-    accumulator uint32 [B, 2, N] after all n0 CMUX steps."""
+    accumulator uint32 [B, 2, N] after all n0 CMUX steps. drop_limbs=d
+    skips the d lowest int8 limb planes of the BSK — exact iff the BSK was
+    rounded to 32-8*d bits (key.round_bsk)."""
     n0 = a_til.shape[0]
     n = params.n1
     g = params.trgsw_lv1
     batch = b_til.shape[0]
-    assert batch % _FB == 0
+    assert batch % fb == 0
     per_ct_tv = testvec.ndim == 3
 
-    kernel = functools.partial(_kernel, params=params, per_ct_tv=per_ct_tv)
+    kernel = functools.partial(
+        _kernel, params=params, per_ct_tv=per_ct_tv, drop_limbs=drop_limbs,
+        fb=fb,
+    )
     tv_spec = (
-        pl.BlockSpec((_FB, 2, n), lambda ft, st: (ft, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((fb, 2, n), lambda ft, st: (ft, 0, 0), memory_space=pltpu.VMEM)
         if per_ct_tv
         else pl.BlockSpec((2, n), lambda ft, st: (0, 0), memory_space=pltpu.VMEM)
     )
     return pl.pallas_call(
         kernel,
-        grid=(batch // _FB, n0),
+        grid=(batch // fb, n0),
         in_specs=[
             tv_spec,
             pl.BlockSpec(
-                (1, _FB, 1), lambda ft, st: (0, ft, 0), memory_space=pltpu.VMEM
+                (1, fb, 1), lambda ft, st: (0, ft, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, _FB, 1), lambda ft, st: (st, ft, 0), memory_space=pltpu.VMEM
+                (1, fb, 1), lambda ft, st: (st, ft, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, 2, 2 * g.l, 2 * n),
@@ -227,7 +241,7 @@ def fused_blind_rotate(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (_FB, 2, n), lambda ft, st: (ft, 0, 0), memory_space=pltpu.VMEM
+            (fb, 2, n), lambda ft, st: (ft, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, 2, n), jnp.uint32),
         interpret=interpret,

@@ -58,6 +58,15 @@ class TfheParams:
     tlwe_lv1: TlweParams
     trlwe_lv1: TrlweParams
     trgsw_lv1: TrgswParams
+    #: Round the bootstrapping key to 32 - bsk_round_bits torus bits at key
+    #: generation (key.round_bsk). Classic BSK modulus reduction: the rounding
+    #: error is uniform noise ~2^-(32-rb), far below bsk_alpha's absolute
+    #: noise for the boolean sets, so security (an LWE sample with slightly
+    #: MORE noise) and correctness (utils/noise.py models the term) both
+    #: hold — while the zeroed low limb planes let the fused kernel skip
+    #: rb/8 of its int8 MXU passes (ops/pallas_blind_rotate.py drop_limbs).
+    #: No reference analog (the reference's f64 FFT cannot exploit it).
+    bsk_round_bits: int = 0
 
     # ---- derived quantities used throughout the pipeline ----
 
@@ -257,21 +266,28 @@ SECURITY_UINT8 = TfheParams(
 )
 
 #: Same LWE hardness as SECURITY_128_BIT (identical n, alpha on both levels —
-#: gadget parameters affect correctness noise, not security), with a leaner
-#: gadget: L=2 rows of Bg=2^8 instead of L=3 of 2^6. 33% fewer external-
-#: product MACs per CMUX => ~1.36x gate throughput (6.1k vs 4.5k gates/s on
-#: v5e). Digits stay int8-exact. Only viable with the centered gadget
-#: decomposition (decomposition_round_bit): measured bootstrap noise
-#: 3.45e-3 = 18 sigma of boolean gate margin; the reference's uncentered
-#: decomposition at these settings would be ~4.5 sigma (unsafe), which is
-#: presumably why it ships L=3.
+#: gadget parameters affect correctness noise, not security; BSK rounding
+#: only ADDS noise to the published samples), with two noise-engineering
+#: moves the reference's f64-FFT design cannot make:
+#:   1. leaner gadget: L=2 rows of Bg=2^8 instead of L=3 of 2^6 (33% fewer
+#:      external-product MACs per CMUX), safe only with the centered gadget
+#:      decomposition (decomposition_round_bit) — the reference's uncentered
+#:      decomposition at these settings would sit at ~4.5 sigma (unsafe),
+#:      which is presumably why it ships L=3;
+#:   2. BSK rounded to 24 torus bits (bsk_round_bits=8): the zero low limb
+#:      plane drops 25% of the fused kernel's int8 MXU passes.
+#: Noise model (utils/noise.py): bootstrap std 4.3e-3 predicted, ~14 sigma
+#: of the boolean gate margin, p_fail ~ 3e-19 per gate. Round-1 measured
+#: (without rounding) 3.45e-3 vs 3.67e-3 predicted — the model runs ~6%
+#: conservative.
 SECURITY_128_BIT_FAST = TfheParams(
     security_bits=128,
-    description="128-bit security, fast gadget (L=2, Bg=2^8)",
+    description="128-bit security, fast gadget (L=2, Bg=2^8, 24-bit BSK)",
     tlwe_lv0=TlweParams(n=700, alpha=2.0e-5),
     tlwe_lv1=TlweParams(n=1024, alpha=2.0e-8),
     trlwe_lv1=TrlweParams(n=1024, alpha=2.0e-8),
     trgsw_lv1=TrgswParams(n=1024, nbit=10, bgbit=8, l=2, basebit=2, iks_t=9, alpha=2.0e-8),
+    bsk_round_bits=8,
 )
 
 DEFAULT_SECURITY = SECURITY_128_BIT

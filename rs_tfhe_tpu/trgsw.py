@@ -18,18 +18,30 @@ from .trlwe import trlwe_encrypt_torus
 
 
 def trgsw_encrypt_torus(
-    key: jax.Array, s1: jax.Array, p: jax.Array, alpha: float, params: TfheParams
+    key: jax.Array, s1: jax.Array, p: jax.Array, alpha: float,
+    params: TfheParams, mask_grid_bits: int = 0,
 ) -> jax.Array:
     """Encrypt small-integer messages p (uint32 [...]) as TRGSW.
 
     Returns uint32 [..., 2L, 2, N]. Reference: trgsw.rs:29-49; the gadget
     constants f64_to_torus(Bg^-(i+1)) are the exact powers 2^(32-(i+1)*bgbit).
+
+    mask_grid_bits: reduced-modulus rows for the rounded BSK (see
+    trlwe_encrypt_torus). Requires the smallest gadget constant to sit on
+    the grid (32 - L*bgbit >= mask_grid_bits) so planting it preserves the
+    zeroed low bits.
     """
     g = params.trgsw_lv1
     n = params.n1
     l = g.l
+    if mask_grid_bits > 0:
+        assert TORUS_BITS - l * g.bgbit >= mask_grid_bits, (
+            "gadget constant below the BSK grid; lower bsk_round_bits"
+        )
     zeros = jnp.zeros((*p.shape, 2 * l, n), dtype=jnp.uint32)
-    ct = trlwe_encrypt_torus(key, s1, zeros, alpha)  # [..., 2L, 2, N]
+    ct = trlwe_encrypt_torus(
+        key, s1, zeros, alpha, mask_grid_bits=mask_grid_bits
+    )  # [..., 2L, 2, N]
     for i in range(l):
         scale = jnp.uint32(1 << (TORUS_BITS - (i + 1) * g.bgbit))
         ct = ct.at[..., i, 0, 0].add(p * scale)

@@ -16,17 +16,33 @@ from .torus import f64_to_torus, gaussian_torus, uniform_torus
 
 
 def trlwe_encrypt_torus(
-    key: jax.Array, s1: jax.Array, mu: jax.Array, alpha: float
+    key: jax.Array, s1: jax.Array, mu: jax.Array, alpha: float,
+    mask_grid_bits: int = 0,
 ) -> jax.Array:
     """Encrypt torus polynomials. s1: uint32 [N] binary; mu: uint32 [..., N].
 
     Reference: trlwe.rs:30-52 (b = mu + noise + a (*) s).
+
+    mask_grid_bits = g > 0 produces a reduced-modulus sample (used for the
+    rounded BSK, params.bsk_round_bits): the mask is drawn uniformly from
+    the 2^g-grid of the torus, so a (*) s stays ON the grid exactly (binary
+    secret), and b is rounded to the grid afterwards. The only extra error
+    is the rounding of (noise + mu) on b — uniform in +/- 2^(g-33) of the
+    torus, NOT amplified by the secret. Security: equivalent to LWE with
+    modulus 2^(32-g) at the same absolute noise, i.e. a strictly larger
+    noise-to-modulus ratio than the full-torus sample.
     """
     n = s1.shape[0]
     k_mask, k_noise = jax.random.split(key)
     a = uniform_torus(k_mask, (*mu.shape[:-1], n))
+    if mask_grid_bits > 0:
+        g = jnp.uint32(mask_grid_bits)
+        a = (a >> g) << g  # uniform on the grid
     noise = gaussian_torus(k_noise, alpha, mu.shape)
     b = mu + noise + polymul_torus_by_binary(a, s1)
+    if mask_grid_bits > 0:
+        half = jnp.uint32(1 << (mask_grid_bits - 1))
+        b = ((b + half) >> g) << g  # round-to-nearest, wrapping
     return jnp.stack([a, b], axis=-2)
 
 

@@ -77,8 +77,16 @@ def estimate(params: TfheParams) -> NoiseEstimate:
     #   b-poly error passes through; both only when the key bit s_i = 1)
     eps2_c = 2.0 ** (-2.0 * (l * g.bgbit + 1))
     var_digit = bg * bg / 12.0
+    # BSK rounding (params.bsk_round_bits, key.round_bsk): each coefficient
+    # carries extra uniform error in +/- 2^-(32-rb+1), variance
+    # 2^-2(32-rb)/12, entering exactly like BSK noise (times the digits).
+    var_bsk_round = (
+        2.0 ** (-2.0 * (32 - params.bsk_round_bits)) / 12.0
+        if params.bsk_round_bits > 0
+        else 0.0
+    )
     var_per_cmux = (
-        2.0 * l * n1 * var_digit * var_bsk
+        2.0 * l * n1 * var_digit * (var_bsk + var_bsk_round)
         + 0.5 * (1.0 + n1 / 2.0) * eps2_c / 3.0
     )
     var_br = n0 * var_per_cmux

@@ -34,6 +34,7 @@ def params_from_dict(d: dict) -> TfheParams:
         tlwe_lv1=TlweParams(**d["tlwe_lv1"]),
         trlwe_lv1=TrlweParams(**d["trlwe_lv1"]),
         trgsw_lv1=TrgswParams(**d["trgsw_lv1"]),
+        bsk_round_bits=d.get("bsk_round_bits", 0),  # absent in v1 files
     )
 
 

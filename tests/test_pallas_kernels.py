@@ -60,3 +60,58 @@ def test_fused_blind_rotate_matches_xla(rng):
         b_til, a_til, tv, prepare_bsk_limbs(bsk), KP, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_blind_rotate_rounded_bsk_drop_limbs(rng):
+    """BSK rounded to 24 bits (key.round_bsk): the low limb plane is zero,
+    so drop_limbs=1 must be bit-exact vs both drop_limbs=0 and the XLA
+    path on the SAME rounded key."""
+    import dataclasses
+
+    from rs_tfhe_tpu.key import round_bsk
+
+    kp = dataclasses.replace(KP, bsk_round_bits=8)
+    batch, n0, n1 = 128, kp.n0, kp.n1
+    bsk = round_bsk(
+        jnp.asarray(
+            rng.integers(0, 1 << 32, (n0, 2 * kp.trgsw_lv1.l, 2, n1), dtype=np.uint32)
+        ),
+        kp.bsk_round_bits,
+    )
+    assert int(jnp.max(bsk & jnp.uint32(0xFF))) == 0  # low byte zeroed
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+
+    ref = np.asarray(BR.blind_rotate(ct, tv, bsk, kp))  # XLA scan path on CPU
+
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], kp)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], kp).T
+    packed = prepare_bsk_limbs(bsk)
+    full = fused_blind_rotate(b_til, a_til, tv, packed, kp, interpret=True)
+    dropped = fused_blind_rotate(
+        b_til, a_til, tv, packed, kp, interpret=True, drop_limbs=1
+    )
+    np.testing.assert_array_equal(np.asarray(full), ref)
+    np.testing.assert_array_equal(np.asarray(dropped), ref)
+
+
+def test_gate_correct_with_rounded_bsk(rng):
+    """Full NAND bootstrap decrypts correctly when the parameter set rounds
+    the BSK (TEST_TINY margins dwarf the 2^-25-scale rounding noise)."""
+    import dataclasses
+
+    from rs_tfhe_tpu import gates
+    from rs_tfhe_tpu.key import CloudKey, SecretKey
+    from rs_tfhe_tpu.params import TEST_TINY
+    from rs_tfhe_tpu.tlwe import lwe_decrypt_bool, lwe_encrypt_bool
+
+    p = dataclasses.replace(TEST_TINY, bsk_round_bits=8)
+    sk = SecretKey.generate(jax.random.key(11), p)
+    ck = CloudKey.generate(jax.random.key(12), sk)
+    assert int(jnp.max(ck.bsk & jnp.uint32(0xFF))) == 0
+    m = jnp.asarray(rng.integers(0, 2, 16).astype(bool))
+    a = lwe_encrypt_bool(jax.random.key(13), sk.lv0, m, p.tlwe_lv0.alpha)
+    b = lwe_encrypt_bool(jax.random.key(14), sk.lv0, ~m, p.tlwe_lv0.alpha)
+    out = gates.nand(a, b, ck)
+    got = np.asarray(lwe_decrypt_bool(out, sk.lv0))
+    np.testing.assert_array_equal(got, ~(np.asarray(m) & ~np.asarray(m)))
