@@ -96,12 +96,16 @@ def blind_rotate(
         from .pallas_blind_rotate import eligible, fused_blind_rotate, prepare_bsk_limbs
 
         # The whole-rotation VMEM-resident kernel (with byte-packed limb
-        # builds) dominates at EVERY batch size on v5e: a padded single gate
-        # runs in 41 ms (vs 296 ms XLA), and throughput plateaus at ~4 450
-        # gates/s from batch 2048 (vs 2 460 for the XLA scan). One Mosaic
-        # program per (step, 128-row tile); batches pad up to the tile.
-        pad = (-batch) % 128
-        shapes_ok = eligible(params, batch + pad, testvec.ndim)
+        # builds) dominates at EVERY batch size on v5e: throughput plateaus
+        # ~7.6k rotations/s from batch 2048 (vs 2 460 for the XLA scan) at
+        # SECURITY_128_BIT_FAST. One Mosaic program per (step, fb-row
+        # tile). Small batches shrink the tile instead of padding to 128 —
+        # the per-step cost is then VPU-build-bound (batch-independent), so
+        # a padded single gate runs the rotation in 11.8 ms at fb=8
+        # (vs 22.7 ms at fb=128; v5e, measured 2026-08).
+        fb = 128 if batch >= 128 else max(8, 1 << (batch - 1).bit_length())
+        pad = (-batch) % fb
+        shapes_ok = eligible(params, batch + pad, testvec.ndim, fb=fb)
         if config.step_impl == "fused":
             if not shapes_ok:
                 raise ValueError("fused blind rotate: shape/testvec not eligible")
@@ -119,6 +123,7 @@ def blind_rotate(
             acc = fused_blind_rotate(
                 b_p, a_p, tv, packed, params,
                 drop_limbs=params.bsk_round_bits // 8,
+                fb=fb,
             )
             return acc[:batch]
 

@@ -32,12 +32,23 @@ def sample_extract(trlwe: jax.Array, k: int = 0) -> jax.Array:
 
 def sample_extract_to_lv0_width(trlwe: jax.Array, n0: int, k: int = 0) -> jax.Array:
     """Truncating variant mirroring the reference's sample_extract_index_2
-    (trlwe.rs:122-136): keeps only the first n0 mask coefficients.
+    (trlwe.rs:122-136) faithfully: the index arithmetic runs with n0 (the
+    lv0 width) in place of the ring dimension, i.e.
+    p[i] = a[k-i] for i <= k else -a[n0 + k - i], body = b[k] — NOT the
+    first n0 entries of the full extract. Exact negation replaces the
+    reference's MAX - x (one of the two documented deviations,
+    tests/test_reference_oracle.py proves it is the only one here).
 
     The result is a "hybrid" ciphertext (not decryptable under either key);
-    the reference used it for its keyswitch-free MUX path. Provided for API
-    parity — the corrected MUX in gates.py does not need it.
+    the reference used it for its keyswitch-free MUX path, which its own
+    test suite never exercises (it tests mux_naive, gates.rs:672). The
+    corrected MUX in gates.py does not need it.
     """
-    full = sample_extract(trlwe, k)
-    n = trlwe.shape[-1]
-    return jnp.concatenate([full[..., :n0], full[..., n : n + 1]], axis=-1)
+    a = trlwe[..., 0, :]
+    b = trlwe[..., 1, :]
+    idx = np.arange(n0)
+    src = np.where(idx <= k, k - idx, n0 + k - idx)
+    wrap = idx > k
+    vals = a[..., src]
+    p = jnp.where(jnp.asarray(wrap), neg_torus(vals), vals)
+    return jnp.concatenate([p, b[..., k][..., None]], axis=-1)

@@ -166,11 +166,13 @@ def _kernel(
         out_ref[:, o, :] = acc[o] + uacc
 
 
-def eligible(params: TfheParams, batch: int, testvec_ndim: int) -> bool:
+def eligible(
+    params: TfheParams, batch: int, testvec_ndim: int, fb: int = _FB
+) -> bool:
     return (
         params.digit_limbs == 1
         and params.n1 % 128 == 0
-        and batch % _FB == 0
+        and batch % fb == 0
         and testvec_ndim in (2, 3)  # shared or per-ciphertext test vectors
     )
 

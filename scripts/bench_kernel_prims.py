@@ -43,7 +43,15 @@ def bench_dot(m, k, n, dtype=jnp.int8, label=""):
     (rolled int32 result folded back into the m x k operand) so the MXU
     cannot overlap or elide iterations."""
     est = (m * k * n) / 150e12 + 1e-6  # optimistic per-dot estimate
-    reps = max(8, int(TARGET_SECS / (est * INNER)))
+    reps = max(8, int(TARGET_SECS / (est * (1 if m * k * 4 > (2 << 20) else INNER))))
+
+    # full [m, k] feedback when it fits VMEM comfortably (INNER chained
+    # dots, zero dead code); else INNER=1 with the whole result written to
+    # o_ref every grid step (serialized through the ref, ~1.5us/step grid
+    # overhead — fine for multi-us dots)
+    big = m * k * 4 > (2 << 20)
+    inner = 1 if big else INNER
+    fm = 8 if big else m
 
     def kernel(a_ref, b_ref, o_ref, fb_ref):
         r = pl.program_id(0)
@@ -52,18 +60,20 @@ def bench_dot(m, k, n, dtype=jnp.int8, label=""):
         def _():
             fb_ref[:] = jnp.zeros_like(fb_ref)
 
-        fb = fb_ref[:]  # [m, k] int32 feedback
-        for _ in range(INNER):
-            a = (a_ref[:].astype(jnp.int32) + (fb & 1)).astype(dtype)
+        fb = fb_ref[:]  # [fm, k] int32 feedback
+        for _ in range(inner):
+            dep = jnp.sum(fb, axis=0, keepdims=True) if big else fb
+            a = (a_ref[:].astype(jnp.int32) + (dep & 1)).astype(dtype)
             acc = jax.lax.dot_general(
                 a, b_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # [m, n]
-            # fold the whole result back into an [m, k] feedback term
+            # fold the result back into an [fm, k] feedback term
+            rows = acc[:fm, :]
             if n >= k:
-                fb = acc[:, :k]
+                fb = rows[:, :k] + (rows[:, -1:] & 1)  # touch last cols too
             else:
-                fb = jnp.concatenate([acc] * (k // n), axis=1)
+                fb = jnp.concatenate([rows] * (k // n), axis=1)
         fb_ref[:] = fb
         o_ref[:] = acc
 
@@ -79,11 +89,11 @@ def bench_dot(m, k, n, dtype=jnp.int8, label=""):
             ],
             out_specs=[
                 pl.BlockSpec((m, n), lambda r: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((m, k), lambda r: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((fm, k), lambda r: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((m, n), jnp.int32),
-                jax.ShapeDtypeStruct((m, k), jnp.int32),
+                jax.ShapeDtypeStruct((fm, k), jnp.int32),
             ],
         )(a, b)
     )
@@ -92,7 +102,7 @@ def bench_dot(m, k, n, dtype=jnp.int8, label=""):
         return f(a, b)[0]
 
     dt = _run(g, a, b)
-    per = dt / (reps * INNER)
+    per = dt / (reps * inner)
     macs = m * k * n
     print(
         f"dot s8 [{m:4},{k:4}]x[{k:4},{n:4}]: {per*1e6:8.2f} us/dot  "

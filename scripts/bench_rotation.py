@@ -69,7 +69,7 @@ def main():
     dt = (time.perf_counter() - t0) / iters
     print(
         f"rotation: {dt*1e3:.1f} ms/batch  {batch/dt:.0f} rot/s  "
-        f"{dt/ (n0 * (batch // 128)) * 1e6:.2f} us/program"
+        f"{dt/ (n0 * max(1, batch // fb)) * 1e6:.2f} us/program"
     )
 
 

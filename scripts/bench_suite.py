@@ -1,0 +1,202 @@
+"""Per-op benchmark suite — criterion parity with the reference's
+benches/gate_benchmarks.rs:12-126 (gate_nand, six-gate group, mux,
+blind_rotate, transform ops) plus this framework's own surfaces (keygen,
+keyswitch, LUT bootstrap, radix add, proxy hop, batch sweep).
+
+Writes ONE JSON object to BENCH_SUITE.json (and stdout) with named
+sub-metrics so per-op regressions are visible across rounds — the headline
+bench.py single line stays unchanged.
+
+Timing per NOTES-PERF.md: chained iterations threading real data through
+the carry, scalar host read as the barrier, best-of-2.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+from rs_tfhe_tpu import ALL_SECURITY_SETS, proxy_reenc  # noqa: E402
+from rs_tfhe_tpu import bootstrap as BS  # noqa: E402
+from rs_tfhe_tpu import gates  # noqa: E402
+from rs_tfhe_tpu.key import CloudKey, SecretKey  # noqa: E402
+from rs_tfhe_tpu.models.arithmetic import add_radix, encrypt_radix  # noqa: E402
+from rs_tfhe_tpu.ops.blind_rotate import blind_rotate  # noqa: E402
+from rs_tfhe_tpu.ops.keyswitch import identity_key_switch  # noqa: E402
+from rs_tfhe_tpu.tlwe import lwe_encrypt_bool, lwe_encrypt_message  # noqa: E402
+
+RESULTS: list[dict] = []
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def record(name, value, unit):
+    RESULTS.append({"name": name, "value": round(value, 3), "unit": unit})
+    log(f"  {name}: {value:.3f} {unit}")
+
+
+def timeit(fn, *args, iters=3, chain=None):
+    """Median wall time of `fn(*args)` chained `iters` times inside one jit.
+
+    chain(out, args) -> args threads the output into the next call so XLA
+    cannot elide iterations; defaults to reusing args (fine when fn's cost
+    dominates and its output feeds the barrier read).
+    """
+
+    @jax.jit
+    def chained(*a):
+        out = None
+        cur = a
+        for _ in range(iters):
+            out = fn(*cur)
+            if chain is not None:
+                cur = chain(out, cur)
+        return out
+
+    out = chained(*args)
+    _ = np.asarray(jax.device_get(jnp.ravel(out if isinstance(out, jax.Array) else out[0])[0]))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = chained(*args)
+        _ = np.asarray(jax.device_get(jnp.ravel(out if isinstance(out, jax.Array) else out[0])[0]))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def xor_into_body(out, cur):
+    """Fold the WHOLE output into the next input (sum touches every
+    element, so no iteration can be dead-code-eliminated)."""
+    s = jnp.sum(jnp.ravel(out).astype(jnp.uint32)) & jnp.uint32(1)
+    a = cur[0].at[..., -1].add(s + jnp.uint32(1))
+    return (a, *cur[1:])
+
+
+def main():
+    pname = os.environ.get("RS_TFHE_BENCH_PARAMS", "SECURITY_128_BIT_FAST")
+    params = ALL_SECURITY_SETS[pname]
+    dev = jax.devices()[0]
+    log(f"device={dev} params={pname}")
+
+    rng = np.random.default_rng(0)
+
+    # --- keygen (warm: second call, first pays compile) ---
+    sk = SecretKey.generate(jax.random.key(42), params)
+    t0 = time.perf_counter()
+    ck = CloudKey.generate(jax.random.key(7), sk)
+    _ = np.asarray(jax.device_get(ck.bsk.ravel()[0]))
+    log(f"keygen cold: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    ck = CloudKey.generate(jax.random.key(8), sk)
+    _ = np.asarray(jax.device_get(ck.bsk.ravel()[0]))
+    record("keygen_warm", (time.perf_counter() - t0) * 1e3, "ms")
+
+    def enc_pair(batch, seed=1):
+        bits = rng.integers(0, 2, batch).astype(bool)
+        a = lwe_encrypt_bool(jax.random.key(seed), sk.lv0, jnp.asarray(bits),
+                             params.tlwe_lv0.alpha)
+        b = lwe_encrypt_bool(jax.random.key(seed + 1), sk.lv0,
+                             jnp.asarray(~bits), params.tlwe_lv0.alpha)
+        return a, b
+
+    # --- single-gate latency (batch 1) ---
+    a1, b1 = enc_pair(1)
+    dt = timeit(lambda a, b: gates.nand(a, b, ck), a1, b1, iters=5,
+                chain=xor_into_body)
+    record("gate_nand_b1_latency", dt * 1e3, "ms")
+
+    # --- gate throughput sweep ---
+    for batch in (128, 2048, 4096):
+        a, b = enc_pair(batch)
+        dt = timeit(lambda x, y: gates.nand(x, y, ck), a, b,
+                    iters=3 if batch >= 2048 else 5, chain=xor_into_body)
+        record(f"gate_nand_b{batch}", batch / dt, "gates/s")
+
+    # --- six-gate group (reference benches the 6-gate set together) ---
+    a, b = enc_pair(2048)
+
+    def six(x, y):
+        out = gates.nand(x, y, ck)
+        for g in (gates.and_, gates.or_, gates.xor, gates.xnor, gates.nor):
+            out = g(out, y, ck)
+        return out
+
+    dt = timeit(six, a, b, iters=1)
+    record("six_gate_group_b2048", 6 * 2048 / dt, "gates/s")
+
+    # --- mux ---
+    am, bm = enc_pair(1024)
+    cm, _ = enc_pair(1024, seed=5)
+    dt = timeit(lambda x, y, z: gates.mux(x, y, z, ck), am, bm, cm, iters=2,
+                chain=xor_into_body)
+    record("mux_b1024", 1024 / dt, "mux/s")
+
+    # --- blind rotate only ---
+    a, _ = enc_pair(2048)
+    lin = gates._nand_lin(a, gates._lin(a))  # any linear form
+    dt = timeit(
+        lambda x: blind_rotate(x, ck.testvec, ck.blind_rotate_bsk, params,
+                               ck.precomputed, ck.bsk_packed),
+        lin, iters=3, chain=xor_into_body)
+    record("blind_rotate_b2048", 2048 / dt, "rot/s")
+
+    # --- key switch only ---
+    from rs_tfhe_tpu.ops.extract import sample_extract
+
+    acc = blind_rotate(lin, ck.testvec, ck.blind_rotate_bsk, params,
+                       ck.precomputed, ck.bsk_packed)
+    lv1 = sample_extract(acc)
+    dt = timeit(lambda x: identity_key_switch(x, ck.ksk_limbs, params),
+                lv1, iters=5, chain=xor_into_body)
+    record("keyswitch_b2048", 2048 / dt, "ops/s")
+
+    # --- LUT (programmable) bootstrap ---
+    lb = BS.LutBootstrap()
+    msgs = jnp.asarray(rng.integers(0, 8, 2048), jnp.uint32)
+    ct = lwe_encrypt_message(jax.random.key(3), sk.lv0, msgs, 8,
+                             params.tlwe_lv0.alpha)
+    dt = timeit(lambda x: lb.bootstrap_func(x, lambda v: (v * 3) % 8, 8, ck),
+                ct, iters=3, chain=xor_into_body)
+    record("lut_bootstrap_b2048", 2048 / dt, "PBS/s")
+
+    # --- radix 8-bit add (batch of 64 pairs) ---
+    xs = rng.integers(0, 256, 64)
+    ys = rng.integers(0, 256, 64)
+    nd = 3  # ceil(8 bits / 3-bit digits)
+    ra = encrypt_radix(jax.random.key(4), sk.lv0, xs, nd, params)
+    rb = encrypt_radix(jax.random.key(5), sk.lv0, ys, nd, params)
+    dt = timeit(lambda x, y: add_radix(x, y, ck), ra, rb, iters=1)
+    record("radix_add8_b64", dt * 1e3 / 64, "ms/add")
+
+    # --- proxy re-encryption hop ---
+    sk_b = SecretKey.generate(jax.random.key(9), params)
+    rk = proxy_reenc.new_symmetric(jax.random.key(10), sk.lv0, sk_b.lv0, params)
+    a, _ = enc_pair(4096)
+    dt = timeit(lambda x: proxy_reenc.reencrypt(x, rk), a, iters=5,
+                chain=xor_into_body)
+    record("proxy_hop_b4096", 4096 / dt, "hops/s")
+
+    out = {
+        "device": str(dev),
+        "params": pname,
+        "metrics": RESULTS,
+    }
+    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_SUITE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
