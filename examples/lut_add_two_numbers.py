@@ -1,20 +1,33 @@
 """8-bit addition in 3 programmable bootstraps via nibble LUTs
 (reference: examples/lut_add_two_numbers.rs, README.md:220).
 
-    python examples/lut_add_two_numbers.py --params SECURITY_128_BIT --x 137 --y 205
+At SECURITY_128_BIT_RADIX (N=2048, engineered for 7.3 sigma of base-16
+margin — utils.noise.lut_margin) this runs the reference's literal
+headline: two 4-bit digits, 3 PBS, reliably. The N=1024 sets only have
+~2-4 sigma at modulus 32, so they fall back to 3-bit digits (5 PBS).
+
+    python examples/lut_add_two_numbers.py --params SECURITY_128_BIT_RADIX --x 137 --y 205
 """
 
 import jax
 from _common import make_keys, parse_args, timed
 
 from rs_tfhe_tpu import models
+from rs_tfhe_tpu.utils.noise import lut_margin
 
 
 def main():
     args = parse_args(__doc__, x=137, y=205)
     sk, ck = make_keys(args.param_set)
-    base_bits = 3 if args.param_set.n1 >= 1024 else 2
-    num_digits = -(-8 // base_bits)  # ceil: 3 digits of 3 bits covers 8-bit
+    if args.param_set.n1 >= 2048:
+        base_bits = 4  # nibbles: 8-bit add in 3 PBS
+    elif args.param_set.n1 >= 1024:
+        base_bits = 3
+    else:
+        base_bits = 2
+    sig, pf = lut_margin(args.param_set, 1 << (base_bits + 1))
+    print(f"base 2^{base_bits} digits: {sig:.1f} sigma margin (p_fail {pf:.1e})")
+    num_digits = -(-8 // base_bits)  # ceil
     mod = 1 << (base_bits * num_digits)
 
     a = models.encrypt_radix(jax.random.key(2), sk.lv0, args.x % mod, num_digits, args.param_set, base_bits)

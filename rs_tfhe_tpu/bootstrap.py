@@ -29,8 +29,8 @@ def bootstrap(ct: jax.Array, ck: CloudKey) -> jax.Array:
     ct: uint32 [..., n0+1] -> uint32 [..., n0+1]. Reference: vanilla.rs:40-52.
     """
     flat, restore = _flat(ct)
-    acc = blind_rotate(flat, ck.testvec, ck.blind_rotate_bsk, ck.params,
-                       ck.precomputed, ck.bsk_packed)
+    acc = blind_rotate(flat, ck.testvec, ck.bsk, ck.params,
+                       bsk_packed=ck.bsk_packed)
     lv1 = sample_extract(acc, 0)
     return restore(identity_key_switch(lv1, ck.ksk_limbs, ck.params))
 
@@ -44,8 +44,8 @@ def bootstrap_without_key_switch(ct: jax.Array, ck: CloudKey) -> jax.Array:
     once (see gates.mux).
     """
     flat, restore = _flat(ct)
-    acc = blind_rotate(flat, ck.testvec, ck.blind_rotate_bsk, ck.params,
-                       ck.precomputed, ck.bsk_packed)
+    acc = blind_rotate(flat, ck.testvec, ck.bsk, ck.params,
+                       bsk_packed=ck.bsk_packed)
     return restore(sample_extract(acc, 0))
 
 
@@ -58,8 +58,8 @@ def bootstrap_with_testvec(ct: jax.Array, testvec: jax.Array, ck: CloudKey) -> j
     flat, restore = _flat(ct)
     if testvec.ndim > 2:
         testvec = testvec.reshape(-1, *testvec.shape[-2:])
-    acc = blind_rotate(flat, testvec, ck.blind_rotate_bsk, ck.params,
-                       ck.precomputed, ck.bsk_packed)
+    acc = blind_rotate(flat, testvec, ck.bsk, ck.params,
+                       bsk_packed=ck.bsk_packed)
     lv1 = sample_extract(acc, 0)
     return restore(identity_key_switch(lv1, ck.ksk_limbs, ck.params))
 
@@ -81,14 +81,29 @@ class VanillaBootstrap:
 
 
 class LutBootstrap:
-    """Programmable bootstrapping strategy (reference bootstrap/lut.rs)."""
+    """Programmable bootstrapping strategy (reference bootstrap/lut.rs).
+
+    Unlike the reference — which rebuilds the LUT polynomial from the
+    closure on EVERY call inside the hot path (lut.rs:49-65, a host-side
+    loop per bootstrap) — repeated (f, modulus, params) pairs hit a
+    per-strategy LUT cache, so steady-state pipelines never leave the
+    device. Pass a stable function object (not a fresh lambda per call) to
+    benefit; `bootstrap_lut` with a prebuilt LookupTable is the fully
+    explicit route."""
 
     name = "lut"
 
-    def bootstrap_func(self, ct, f, message_modulus: int, ck: CloudKey):
-        from .lut.generator import Generator
+    def __init__(self):
+        self._lut_cache: dict = {}
 
-        lut = Generator(message_modulus, ck.params).generate_lookup_table(f)
+    def bootstrap_func(self, ct, f, message_modulus: int, ck: CloudKey):
+        key = (f, message_modulus, id(ck.params))
+        lut = self._lut_cache.get(key)
+        if lut is None:
+            from .lut.generator import Generator
+
+            lut = Generator(message_modulus, ck.params).generate_lookup_table(f)
+            self._lut_cache[key] = lut
         return self.bootstrap_lut(ct, lut, ck)
 
     def bootstrap_lut(self, ct, lut, ck: CloudKey):

@@ -2,20 +2,16 @@
 
 Environment overrides:
   RS_TFHE_DOT_IMPL = int8 | bf16     (default int8)
-  RS_TFHE_BSK_MODE = onthefly | precomputed   (default onthefly)
 
 `dot_impl` selects how the exact limb contractions hit the MXU:
   - "int8": s8 x s8 -> s32 `lax.dot_general` (native on TPU v5+; 2x bf16 rate).
   - "bf16": bf16 x bf16 -> f32 with the contraction chunked to <= 1024 so every
     partial sum stays within float32's exact-integer range (see torus.py).
 
-`bsk_mode` selects how blind rotation obtains its per-step negacyclic
-circulant matrices:
-  - "onthefly": built inside the scan from the 2L*2 bootstrapping-key
-    polynomials of the current step (memory-light; BSK stays a few MB).
-  - "precomputed": all n0 step matrices materialized once at CloudKey
-    preparation (fast streaming from HBM, ~35 GB at SECURITY_128_BIT —
-    only for large-memory chips/hosts).
+The BSK precompute is `CloudKey.bsk_packed` (the byte-packed limb layout the
+whole-rotation kernel streams); a fully-expanded circulant precompute was
+removed in round 2 — it cannot exist at production scale on 16 GB chips
+(~35 GB at SECURITY_128_BIT) and measured slower than in-VMEM expansion.
 """
 
 from __future__ import annotations
@@ -27,7 +23,6 @@ import os
 @dataclasses.dataclass
 class Config:
     dot_impl: str = os.environ.get("RS_TFHE_DOT_IMPL", "int8")
-    bsk_mode: str = os.environ.get("RS_TFHE_BSK_MODE", "onthefly")
     #: blind-rotation implementation:
     #:   "auto"       — the whole-rotation VMEM kernel whenever eligible
     #:                  (TPU, shared testvec, digit_limbs == 1; batches pad

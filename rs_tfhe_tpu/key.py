@@ -5,9 +5,10 @@ Reference: rs-tfhe key.rs. Differences by design:
     (params ride along as static metadata);
   - the key-switching key is stored pre-limb-split for the one-hot MXU
     contraction (ops/keyswitch.py);
-  - the bootstrapping key is stored as coefficient polynomials (a few MB) and
-    optionally pre-expanded to per-step circulant matmul operands — the TPU
-    analogue of the reference's precomputed TRGSWLv1FFT (key.rs:19,124-156);
+  - the bootstrapping key is stored as coefficient polynomials (a few MB)
+    plus the byte-packed limb layout the whole-rotation kernel streams
+    (bsk_packed) — the TPU analogue of the reference's precomputed
+    TRGSWLv1FFT (key.rs:19,124-156);
   - generation is deterministic from an explicit jax.random key (the
     reference uses thread_rng, key.rs:34).
 """
@@ -20,7 +21,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .ops.poly import build_step_matrix
 from .params import TORUS_BITS, TfheParams
 from .tlwe import lwe_encrypt_torus
 from .torus import f64_to_torus, split_u32_limbs
@@ -52,40 +52,26 @@ class CloudKey:
     testvec: jax.Array  # uint32 [2, N]
     ksk_limbs: jax.Array  # int8 [N*IKS_T*BASE, (n0+1)*4]
     bsk: jax.Array  # uint32 [n0, 2L, 2, N]
-    bsk_prepared: Optional[jax.Array]  # int8 [n0, 2, 4, 2L*N, N] or None
     params: TfheParams = dataclasses.field(metadata=dict(static=True))
-    #: byte-packed limb form for the fused blind-rotation kernel
-    #: (ops/pallas_blind_rotate.prepare_bsk_limbs); derived, not serialized
+    #: byte-packed limb form for the fused blind-rotation kernel — THE BSK
+    #: precompute (ops/pallas_blind_rotate.prepare_bsk_limbs); derived, not
+    #: serialized. (A fully-expanded circulant precompute was removed in
+    #: round 2: ~35 GB at SECURITY_128_BIT cannot exist on 16 GB chips, and
+    #: in-VMEM expansion measured faster anyway.)
     bsk_packed: Optional[jax.Array] = None  # int32 [n0, 2, 2L, 2N]
 
-    @property
-    def precomputed(self) -> bool:
-        return self.bsk_prepared is not None
-
-    @property
-    def blind_rotate_bsk(self) -> jax.Array:
-        return self.bsk_prepared if self.precomputed else self.bsk
-
     @staticmethod
-    def generate(
-        key: jax.Array, sk: SecretKey, precompute_circulants: bool | None = None
-    ) -> "CloudKey":
-        if precompute_circulants is None:
-            from .config import config
-
-            precompute_circulants = config.bsk_mode == "precomputed"
+    def generate(key: jax.Array, sk: SecretKey) -> "CloudKey":
         params = sk.params
         k_ksk, k_bsk = jax.random.split(key)
         ksk_limbs = gen_key_switching_key(k_ksk, sk)
         bsk = gen_bootstrapping_key(k_bsk, sk)
-        prepared = prepare_bsk(bsk) if precompute_circulants else None
         from .ops.pallas_blind_rotate import prepare_bsk_limbs
 
         return CloudKey(
             testvec=gen_testvec(params),
             ksk_limbs=ksk_limbs,
             bsk=bsk,
-            bsk_prepared=prepared,
             params=params,
             bsk_packed=prepare_bsk_limbs(bsk),
         )
@@ -102,7 +88,6 @@ class CloudKey:
                 dtype=jnp.int8,
             ),
             bsk=jnp.zeros((params.n0, 2 * g.l, 2, params.n1), dtype=jnp.uint32),
-            bsk_prepared=None,
             params=params,
         )
 
@@ -176,12 +161,3 @@ def round_bsk(bsk: jax.Array, round_bits: int) -> jax.Array:
     return ((bsk + half) >> rb) << rb
 
 
-def prepare_bsk(bsk: jax.Array) -> jax.Array:
-    """Expand BSK coefficient polys to per-step circulant matmul operands.
-
-    The TPU analogue of the reference's frequency-domain BSK precompute
-    (TRGSWLv1FFT, trgsw.rs:52-75): here the 'transform domain' is the
-    limb-split negacyclic circulant layout the MXU consumes directly.
-    ~35 GB at SECURITY_128_BIT — use only on large-memory devices.
-    """
-    return jax.lax.map(build_step_matrix, bsk)

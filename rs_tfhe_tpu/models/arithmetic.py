@@ -57,11 +57,13 @@ def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
     digit sum in [0, 2^(b+1)); one PBS extracts sum mod 2^b, a second
     (batched into the same blind rotation) extracts the carry.
 
-    base_bits=4 reproduces the reference's "8-bit add in 3 PBS" nibble method
-    (README.md:220) but its modulus-32 encoding leaves only ~2.4 sigma of
-    mod-switch margin at N=1024 (~1% failures per PBS — the reference has
-    the same bound, plus an uncentered-decomposition bias we fixed). The
-    default base_bits=3 (modulus 16, ~4.8 sigma) is reliable.
+    base_bits=4 is the reference's "8-bit add in 3 PBS" nibble method
+    (README.md:220). Its modulus-32 encoding leaves only ~2 sigma of
+    mod-switch margin at the N=1024 sets (the reference has the same bound,
+    plus an uncentered-decomposition bias we fixed) — use
+    SECURITY_128_BIT_RADIX (N=2048), engineered for ~7.3 sigma at base 16
+    (utils.noise.lut_margin), to run nibbles reliably. At the N=1024 sets
+    the default base_bits=3 (modulus 16) is the right choice.
     """
     d = a.shape[-2]
     base = 1 << base_bits

@@ -12,10 +12,9 @@ the n0 steps where every step processes the whole [B, 2, N] accumulator batch:
            delta = d (x) BSK_i               (exact limb matmul on the MXU)
            acc   = acc + delta               (== CMUX(acc, rot; BSK_i))
 
-BSK layouts (config.bsk_mode): "onthefly" builds the step operand inside the
-scan from the [2L, 2, N] coefficient polys (BSK stays a few MB);
-"precomputed" materializes all n0 operands at CloudKey preparation (huge
-memory, big-HBM chips only).
+The BSK stays in its [n0, 2L, 2, N] coefficient form (a few MB) plus the
+byte-packed limb layout the fused kernel streams (CloudKey.bsk_packed);
+per-step operands are expanded on the fly (in VMEM for the fused kernel).
 
 Step implementations (config.step_impl; all bit-exact): "xla" — the MXU
 circulant path above; "nussbaumer" — transform path, 2.7x better single-gate
@@ -69,7 +68,6 @@ def blind_rotate(
     testvec: jax.Array,
     bsk: jax.Array,
     params: TfheParams,
-    precomputed: bool = False,
     bsk_packed=None,
 ) -> jax.Array:
     """Blind-rotate a batch of lv0 LWE ciphertexts.
@@ -78,8 +76,7 @@ def blind_rotate(
     testvec: uint32 [2, N] (shared) or [B, 2, N] (per-ciphertext LUTs)
     bsk_packed: optional int32 [n0, 2, 2L, 2N] byte-packed limb form for the
              fused kernel (CloudKey precomputes it; packed on the fly if None)
-    bsk:     onthefly:    uint32 [n0, 2L, 2, N]   (TRGSW coefficient polys)
-             precomputed: int8   [n0, 2, 4, 2L*N, N] (step matrices)
+    bsk:     uint32 [n0, 2L, 2, N] (TRGSW coefficient polys)
     Returns the accumulator TRLWE batch, uint32 [B, 2, N].
     """
     g = params.trgsw_lv1
@@ -92,7 +89,7 @@ def blind_rotate(
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
-    if config.step_impl in ("fused", "auto") and not precomputed:
+    if config.step_impl in ("fused", "auto"):
         from .pallas_blind_rotate import eligible, fused_blind_rotate, prepare_bsk_limbs
 
         # The whole-rotation VMEM-resident kernel (with byte-packed limb
@@ -130,13 +127,13 @@ def blind_rotate(
     tv = jnp.broadcast_to(testvec, (batch, 2, n1))
     acc0 = monomial_rotate(tv, b_til[:, None])
 
-    use_pallas = not precomputed and _use_pallas_step(params, batch)
+    use_pallas = _use_pallas_step(params, batch)
     # Nussbaumer: transform path, platform-independent and testvec-agnostic.
     # The fused kernel above handles per-ciphertext LUT test vectors too, so
     # on TPU with digit_limbs == 1 this branch only fires for shapes the
     # kernel rejects (N % 128 != 0); its main jobs are multi-limb parameter
     # sets (bgbit > 8) and the explicit step_impl="nussbaumer" override.
-    use_nussbaumer = not precomputed and (
+    use_nussbaumer = (
         config.step_impl == "nussbaumer"
         or (config.step_impl == "auto" and batch < 64 and on_tpu)
     )
@@ -168,7 +165,7 @@ def blind_rotate(
             lhs = digits.astype(jnp.int8).reshape(batch, 2 * g.l * n1)
             delta = fused_external_product(lhs, xl, 2)  # [B, 2, N]
         else:
-            mat = bsk_i if precomputed else build_step_matrix(bsk_i)
+            mat = build_step_matrix(bsk_i)
             delta = polymul_small_by_torus_multi(digits, mat, d_limbs, 2)
         return acc + delta, None
 

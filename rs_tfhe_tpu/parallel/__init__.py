@@ -15,6 +15,9 @@ from .mesh import (  # noqa: F401
 )
 from .sharded import (  # noqa: F401
     data_parallel_gate,
+    data_parallel_lut_bootstrap,
+    data_parallel_mux,
     tensor_parallel_bootstrap,
+    tensor_parallel_lut_bootstrap,
     tensor_parallel_gate,
 )

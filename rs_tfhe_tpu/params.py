@@ -290,6 +290,34 @@ SECURITY_128_BIT_FAST = TfheParams(
     bsk_round_bits=8,
 )
 
+#: Engineered for reliable multi-bit (LUT/radix) arithmetic — reclaims the
+#: reference's "8-bit add in 3 PBS" nibble headline (README.md:220,
+#: examples/lut_add_two_numbers.rs) WITH real margins instead of its ~2.4
+#: sigma at N=1024. Design: every noise term is pushed below the
+#: mod-switch rounding floor (var = (n0+1)/(2N)^2/12, irreducible at given
+#: n0, N), then N=2048 shrinks that floor 4x:
+#:   - lv0 (n=820, alpha=2.52e-6): the reference's own Uint4-Uint5 lv0 pair
+#:     (params.rs:194), so the lv0 hardness claim is inherited, not invented;
+#:   - ring N=2048, alpha=1e-14: conservative vs the >=128-bit GLWE(1, 2048)
+#:     noise used across public TFHE libraries (e.g. TFHE-rs' 2.845e-15;
+#:     larger alpha = more noise = harder LWE);
+#:   - gadget L=3, Bg=2^8 (24-bit precision, digits int8-exact so the fused
+#:     kernel applies); KSK basebit=2, t=12 (24-bit precision, one-hot dim
+#:     N*t*4 = 98k keeps the keyswitch matmul ~3x SECURITY_128_BIT's).
+#: utils/noise.py: base-16 digit sums (modulus 32, 3 summands) sit at
+#: ~7.3 sigma => p_fail ~ 3e-13 per PBS; base-8 at ~15 sigma. No BSK
+#: rounding: at alpha_bsk = 1e-14 the rounding term would dominate.
+SECURITY_128_BIT_RADIX = TfheParams(
+    security_bits=128,
+    description="128-bit security, N=2048 ring for reliable base-16 radix LUTs",
+    tlwe_lv0=TlweParams(n=820, alpha=0.0000025167616095979554),
+    tlwe_lv1=TlweParams(n=2048, alpha=1.0e-14),
+    trlwe_lv1=TrlweParams(n=2048, alpha=1.0e-14),
+    trgsw_lv1=TrgswParams(
+        n=2048, nbit=11, bgbit=8, l=3, basebit=2, iks_t=12, alpha=1.0e-14
+    ),
+)
+
 DEFAULT_SECURITY = SECURITY_128_BIT
 
 #: Small-but-functional set for fast unit tests. Noise rates are set so far
@@ -310,6 +338,7 @@ ALL_SECURITY_SETS = {
     "SECURITY_110_BIT": SECURITY_110_BIT,
     "SECURITY_128_BIT": SECURITY_128_BIT,
     "SECURITY_128_BIT_FAST": SECURITY_128_BIT_FAST,
+    "SECURITY_128_BIT_RADIX": SECURITY_128_BIT_RADIX,
     "SECURITY_UINT1": SECURITY_UINT1,
     "SECURITY_UINT2": SECURITY_UINT2,
     "SECURITY_UINT3": SECURITY_UINT3,

@@ -72,9 +72,9 @@ def cmux(
     return c0 + external_product(cond, c1 - c0, params)
 
 
-def batch_blind_rotate(ct, testvec, bsk, params, precomputed: bool = False):
+def batch_blind_rotate(ct, testvec, bsk, params):
     """Parity alias for the reference's batch_blind_rotate (trgsw.rs:289-305):
     here blind rotation is batch-first, so the batch API IS the API."""
     from .ops.blind_rotate import blind_rotate
 
-    return blind_rotate(ct, testvec, bsk, params, precomputed)
+    return blind_rotate(ct, testvec, bsk, params)

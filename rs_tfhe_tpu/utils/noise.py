@@ -131,6 +131,28 @@ def estimate(params: TfheParams) -> NoiseEstimate:
     )
 
 
+def lut_margin(
+    params: TfheParams, message_modulus: int, n_summands: int = 3
+) -> tuple[float, float]:
+    """(sigmas, p_fail) for a programmable bootstrap whose input is a sum
+    of `n_summands` previously-bootstrapped ciphertexts under the
+    m/(2*modulus) message encoding — the radix-arithmetic decision margin
+    (models/arithmetic.add_radix: digit + digit + carry = 3 summands).
+
+    margin = 1/(2*modulus); variance = n * var_out + modswitch rounding.
+    SECURITY_128_BIT_RADIX was engineered with this function: base-16
+    digits (modulus 32) at ~7.3 sigma; SECURITY_128_BIT_FAST gives ~3.6
+    sigma there (hence its base-8 default).
+    """
+    est = estimate(params)
+    n0, n1 = params.n0, params.n1
+    var_modswitch = (n0 + 1) * (1.0 / (2.0 * n1)) ** 2 / 12.0
+    sigma = math.sqrt(n_summands * est.bootstrap_out_std**2 + var_modswitch)
+    margin = 1.0 / (2.0 * message_modulus)
+    sigmas = margin / sigma
+    return sigmas, _erfc(sigmas / math.sqrt(2.0))
+
+
 def measure_phase_noise(ct, secret, mu_expected) -> np.ndarray:
     """Empirical torus-fraction noise of LWE ciphertexts.
 

@@ -59,8 +59,8 @@ def load_secret_key(path) -> SecretKey:
 
 
 def save_cloud_key(path, ck: CloudKey) -> None:
-    """~100 MB compressed at SECURITY_128_BIT. bsk_prepared (the expanded
-    circulant form) is never stored — it is derived, and huge."""
+    """~100 MB compressed at SECURITY_128_BIT. bsk_packed is never stored —
+    it is derived (prepare_bsk_limbs) and rebuilt at load."""
     np.savez_compressed(
         path,
         version=_FORMAT_VERSION,
@@ -72,9 +72,7 @@ def save_cloud_key(path, ck: CloudKey) -> None:
     )
 
 
-def load_cloud_key(path, precompute_circulants: bool = False) -> CloudKey:
-    from ..key import prepare_bsk
-
+def load_cloud_key(path) -> CloudKey:
     with np.load(path, allow_pickle=False) as z:
         _check(z, "cloud")
         params = params_from_dict(json.loads(str(z["params"])))
@@ -85,7 +83,6 @@ def load_cloud_key(path, precompute_circulants: bool = False) -> CloudKey:
             testvec=jnp.asarray(z["testvec"]),
             ksk_limbs=jnp.asarray(z["ksk_limbs"]),
             bsk=bsk,
-            bsk_prepared=prepare_bsk(bsk) if precompute_circulants else None,
             params=params,
             bsk_packed=prepare_bsk_limbs(bsk),
         )

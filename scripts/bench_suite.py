@@ -147,16 +147,16 @@ def main():
     a, _ = enc_pair(2048)
     lin = gates._nand_lin(a, gates._lin(a))  # any linear form
     dt = timeit(
-        lambda x: blind_rotate(x, ck.testvec, ck.blind_rotate_bsk, params,
-                               ck.precomputed, ck.bsk_packed),
+        lambda x: blind_rotate(x, ck.testvec, ck.bsk, params,
+                               bsk_packed=ck.bsk_packed),
         lin, iters=3, chain=xor_into_body)
     record("blind_rotate_b2048", 2048 / dt, "rot/s")
 
     # --- key switch only ---
     from rs_tfhe_tpu.ops.extract import sample_extract
 
-    acc = blind_rotate(lin, ck.testvec, ck.blind_rotate_bsk, params,
-                       ck.precomputed, ck.bsk_packed)
+    acc = blind_rotate(lin, ck.testvec, ck.bsk, params,
+                       bsk_packed=ck.bsk_packed)
     lv1 = sample_extract(acc)
     dt = timeit(lambda x: identity_key_switch(x, ck.ksk_limbs, params),
                 lv1, iters=5, chain=xor_into_body)

@@ -36,8 +36,8 @@ def main():
     b = lwe_encrypt_bool(jax.random.key(780), sk.lv0, ~bits, p.tlwe_lv0.alpha)
 
     lin = gates._nand_lin(a, b)
-    acc = blind_rotate(lin, ck.testvec, ck.blind_rotate_bsk, p,
-                       ck.precomputed, ck.bsk_packed)
+    acc = blind_rotate(lin, ck.testvec, ck.bsk, p,
+                       bsk_packed=ck.bsk_packed)
     lv1 = sample_extract(acc)
     ks = identity_key_switch(lv1, ck.ksk_limbs, p)
     nand = gates.nand(a, b, ck)

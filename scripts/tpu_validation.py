@@ -134,6 +134,46 @@ def main() -> None:
           list(tlwe.lwe_decrypt_message(out4, sk4.lv0, m16))
           == [(x * 3 + 1) % m16 for x in range(m16)])
 
+    # -- SECURITY_128_BIT_RADIX: the nibble headline, 256 trials ------------
+    # The reference's "8-bit add in 3 PBS" (examples/lut_add_two_numbers.rs)
+    # at a set engineered for >= 6 sigma of base-16 margin. 256 trials x
+    # 3 PBS each; model p_fail 2.3e-13 => any failure is a real bug.
+    pr = tfhe.SECURITY_128_BIT_RADIX
+    skr = tfhe.SecretKey.generate(jax.random.key(30), pr)
+    t1 = time.perf_counter()
+    ckr = tfhe.CloudKey.generate(jax.random.key(31), skr)
+    print(f"RADIX keygen: {time.perf_counter() - t1:.1f}s")
+    trials = 256
+    xs = rng.integers(0, 256, trials)
+    ys = rng.integers(0, 256, trials)
+    ra = models.encrypt_radix(jax.random.key(32), skr.lv0, xs, 2, pr, base_bits=4)
+    rb = models.encrypt_radix(jax.random.key(33), skr.lv0, ys, 2, pr, base_bits=4)
+    rsum = models.add_radix(ra, rb, ckr, base_bits=4)  # 3 PBS per add
+    dec = np.asarray(models.decrypt_radix(rsum, skr.lv0, base_bits=4))
+    check(
+        "RADIX 8-bit nibble add in 3 PBS (256 trials, 768 PBS)",
+        (dec == (xs + ys) % 256).all(),
+    )
+
+    # measured post-PBS noise must agree with the engineered margin
+    from rs_tfhe_tpu.torus import f64_to_torus
+    from rs_tfhe_tpu.utils.noise import lut_margin, measure_phase_noise
+
+    enc_scale = 1.0 / (2.0 * 32)
+    expected_mu = np.uint32(
+        [int(f64_to_torus((int(v) % 32) * enc_scale)) for v in dec.reshape(-1)]
+    ).reshape(dec.shape)
+    noise = measure_phase_noise(
+        rsum.reshape(-1, pr.n0 + 1), skr.lv0, expected_mu.reshape(-1)
+    )
+    sig_design, _ = lut_margin(pr, 32)
+    sigma_meas = float(noise.std())
+    margin_sigmas = (1.0 / 64.0) / sigma_meas
+    print(f"  RADIX measured PBS-output noise std {sigma_meas:.2e} "
+          f"=> {margin_sigmas:.1f} sigma of base-16 margin "
+          f"(model floor {sig_design:.1f} incl. next-PBS modswitch)")
+    check("RADIX base-16 margin >= 6 sigma measured", margin_sigmas >= 6.0)
+
     print(f"\nALL {PASS} CHECKS PASSED "
           f"({time.perf_counter() - t0:.0f}s total)")
 

@@ -43,3 +43,33 @@ def test_bootstrap_output_noise_within_model(tiny, sk, ck, rng):
     noise = measure_phase_noise(out, sk.lv0, np.uint32(f64_to_torus(0.125)))
     assert np.abs(noise).max() < 6.0 * est.bootstrap_out_std + 1e-9
     assert noise.std() < 2.0 * est.bootstrap_out_std + 1e-9
+
+
+def test_radix_set_margins_support_nibble_headline():
+    """SECURITY_128_BIT_RADIX was engineered so base-16 digit arithmetic
+    (the reference's '8-bit add in 3 PBS' method) has >= 6 sigma of margin
+    (VERDICT round-1 item 6). Pin the design numbers."""
+    from rs_tfhe_tpu.params import SECURITY_128_BIT_FAST, SECURITY_128_BIT_RADIX
+    from rs_tfhe_tpu.utils.noise import lut_margin
+
+    s16, p16 = lut_margin(SECURITY_128_BIT_RADIX, 32)
+    assert s16 >= 6.0, s16
+    assert p16 < 1e-9, p16
+    s8, _ = lut_margin(SECURITY_128_BIT_RADIX, 16)
+    assert s8 >= 12.0
+    # and the boolean-gate margin is comfortable too
+    est = estimate(SECURITY_128_BIT_RADIX)
+    assert est.gate_fail_prob < 1e-30
+    # the N=1024 sets genuinely cannot do base 16 — that's why RADIX exists
+    s16_fast, _ = lut_margin(SECURITY_128_BIT_FAST, 32)
+    assert s16_fast < 3.0
+
+
+def test_radix_set_is_fused_kernel_eligible():
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import eligible
+    from rs_tfhe_tpu.params import SECURITY_128_BIT_RADIX as R
+
+    assert R.digit_limbs == 1
+    assert eligible(R, 128, 2)
+    # gadget constants stay on any future BSK grid choice
+    assert 32 - R.trgsw_lv1.l * R.trgsw_lv1.bgbit >= 8

@@ -79,3 +79,21 @@ def test_custom_params(tiny, sk, sk_dirty, rng):
     ct = tlwe.lwe_encrypt_bool(jax.random.key(322), sk.lv0, msgs, tiny.tlwe_lv0.alpha)
     out = proxy_reenc.reencrypt(ct, rk)
     assert bool(jnp.all(tlwe.lwe_decrypt_bool(out, sk_dirty.lv0) == msgs))
+
+
+def test_reencryption_accuracy_large_sample(tiny, sk, sk_dirty, rng):
+    """Reference parity scale-up: its accuracy tests run 100 trials at
+    >90-95% (proxy_reenc.rs:532-555, :606-636); batched encryption makes
+    4096 trials free here, and TEST_TINY margins support asserting 100%."""
+    rk = proxy_reenc.new_symmetric(jax.random.key(310), sk.lv0, sk_dirty.lv0, tiny)
+    msgs = _bools(rng, 4096)
+    ct = tlwe.lwe_encrypt_bool(jax.random.key(311), sk.lv0, msgs, tiny.tlwe_lv0.alpha)
+    bob = proxy_reenc.reencrypt(ct, rk)
+    dec = np.asarray(tlwe.lwe_decrypt_bool(bob, sk_dirty.lv0))
+    assert (dec == np.asarray(msgs)).all()
+
+    bob_pk = PublicKeyLv0.generate(jax.random.key(312), sk_dirty.lv0, tiny)
+    rka = proxy_reenc.new_asymmetric(jax.random.key(313), sk.lv0, bob_pk, tiny)
+    bob2 = proxy_reenc.reencrypt(ct, rka)
+    dec2 = np.asarray(tlwe.lwe_decrypt_bool(bob2, sk_dirty.lv0))
+    assert (dec2 == np.asarray(msgs)).all()

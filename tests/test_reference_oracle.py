@@ -139,8 +139,8 @@ def test_blind_rotate_matches_exact_oracle(keys, rng):
     p = TEST_TINY
     ct = rng.integers(0, 1 << 32, (2, p.n0 + 1), dtype=np.uint32)
     ours = np.asarray(
-        blind_rotate(jnp.asarray(ct), ck.testvec, ck.blind_rotate_bsk, p,
-                     ck.precomputed, ck.bsk_packed)
+        blind_rotate(jnp.asarray(ct), ck.testvec, ck.bsk, p,
+                     bsk_packed=ck.bsk_packed)
     )
     tv = np.asarray(ck.testvec)
     bsk = np.asarray(ck.bsk)
