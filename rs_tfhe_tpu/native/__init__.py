@@ -18,7 +18,10 @@ import numpy as np
 
 _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "libtfhe_client.so"
-_SRC = _DIR.parent.parent / "csrc" / "tfhe_client.cpp"
+_SRCS = [
+    _DIR.parent.parent / "csrc" / "tfhe_client.cpp",
+    _DIR.parent.parent / "csrc" / "circuit_scheduler.cpp",
+]
 _lib = None
 
 
@@ -28,7 +31,7 @@ def build(force: bool = False) -> Path:
         subprocess.run(
             [
                 "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-Wall",
-                "-shared", "-o", str(_SO), str(_SRC),
+                "-shared", "-o", str(_SO), *[str(s) for s in _SRCS],
             ],
             check=True,
         )
@@ -59,6 +62,12 @@ def _load():
         lib.identity_key_switch.argtypes = [
             u32p, u32p, u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32]
+        lib.circuit_levelize.argtypes = [i32p] * 5 + [ctypes.c_int32] * 3 + [i32p]
+        lib.circuit_levelize.restype = ctypes.c_int32
+        lib.circuit_plan.argtypes = (
+            [i32p] * 5 + [ctypes.c_int32] * 3 + [i32p] * 5 + [ctypes.c_int32]
+        )
+        lib.circuit_plan.restype = ctypes.c_int32
         _lib = lib
     return _lib
 

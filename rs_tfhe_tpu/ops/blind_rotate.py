@@ -56,6 +56,25 @@ def _use_pallas_step(params: TfheParams, batch: int) -> bool:
     return True
 
 
+def select_fb(batch: int, n1: int) -> int:
+    """Batch-tile rows for the fused kernel.
+
+    VMEM-scaled cap: the kernel's per-program footprint grows ~linearly in
+    N (acc, lhs, rhs, limb accumulators), so N=2048 parameter sets
+    (SECURITY_128_BIT_RADIX) cap at 64 rows — fb=128 OOMs Mosaic there
+    (measured); N=1024 keeps the full 128. Multi-tile runs additionally
+    double-buffer the acc/testvec blocks across tiles, which at N=2048
+    pushes fb=64 over VMEM too (measured): halve again when more than one
+    tile is in flight. Batches below the cap shrink to the next power of
+    two >= 8 — per-step cost is then VPU-build-bound (batch-independent),
+    which is what makes a padded single gate run in ~12 ms.
+    """
+    max_fb = max(8, (128 * 1024) // n1)
+    if n1 > 1024 and batch > max_fb:
+        max_fb = max(8, max_fb // 2)
+    return max_fb if batch >= max_fb else max(8, 1 << (batch - 1).bit_length())
+
+
 def modswitch(x: jax.Array, params: TfheParams) -> jax.Array:
     """Round torus values to [0, 2N) (reference trgsw.rs:202-211)."""
     nbit = params.trgsw_lv1.nbit
@@ -100,7 +119,7 @@ def blind_rotate(
         # the per-step cost is then VPU-build-bound (batch-independent), so
         # a padded single gate runs the rotation in 11.8 ms at fb=8
         # (vs 22.7 ms at fb=128; v5e, measured 2026-08).
-        fb = 128 if batch >= 128 else max(8, 1 << (batch - 1).bit_length())
+        fb = select_fb(batch, n1)
         pad = (-batch) % fb
         shapes_ok = eligible(params, batch + pad, testvec.ndim, fb=fb)
         if config.step_impl == "fused":

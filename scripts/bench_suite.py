@@ -180,6 +180,44 @@ def main():
     dt = timeit(lambda x, y: add_radix(x, y, ck), ra, rb, iters=1)
     record("radix_add8_b64", dt * 1e3 / 64, "ms/add")
 
+    # --- transform-level ops (criterion parity: fft fwd/inv/poly_mul) ---
+    # our "transform" is the circulant expansion + exact limb contraction;
+    # bench one full external-product step (the poly_mul analogue) and the
+    # Nussbaumer transform step at the same shape
+    from rs_tfhe_tpu.ops.decompose import gadget_decompose
+    from rs_tfhe_tpu.ops.nussbaumer import (
+        check_bounds,
+        external_product_step,
+        prepare_bsk_step,
+    )
+    from rs_tfhe_tpu.ops.poly import build_step_matrix, polymul_small_by_torus_multi
+
+    g = params.trgsw_lv1
+    step_polys = jnp.asarray(
+        rng.integers(0, 1 << 32, (2 * g.l, 2, params.n1), dtype=np.uint32)
+    )
+    trlwe = jnp.asarray(
+        rng.integers(0, 1 << 32, (2048, 2, params.n1), dtype=np.uint32)
+    )
+
+    def ext_step(x):
+        d = gadget_decompose(x, params)
+        mat = build_step_matrix(step_polys)
+        return polymul_small_by_torus_multi(d, mat, params.digit_limbs, 2)
+
+    dt = timeit(ext_step, trlwe, iters=3,
+                chain=lambda out, cur: (cur[0] + (jnp.sum(out) & jnp.uint32(1)),))
+    record("external_product_step_b2048", 2048 / dt, "ops/s")
+
+    if check_bounds(params):
+        def nuss_step(x):
+            d = gadget_decompose(x, params)
+            return external_product_step(d, prepare_bsk_step(step_polys, params), params)
+
+        dt = timeit(nuss_step, trlwe, iters=3,
+                    chain=lambda out, cur: (cur[0] + (jnp.sum(out) & jnp.uint32(1)),))
+        record("nussbaumer_step_b2048", 2048 / dt, "ops/s")
+
     # --- proxy re-encryption hop ---
     sk_b = SecretKey.generate(jax.random.key(9), params)
     rk = proxy_reenc.new_symmetric(jax.random.key(10), sk.lv0, sk_b.lv0, params)

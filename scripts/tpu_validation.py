@@ -160,11 +160,12 @@ def main() -> None:
     from rs_tfhe_tpu.utils.noise import lut_margin, measure_phase_noise
 
     enc_scale = 1.0 / (2.0 * 32)
+    digs = np.stack([(dec >> 0) & 15, (dec >> 4) & 15], axis=-1)  # [trials, 2]
     expected_mu = np.uint32(
-        [int(f64_to_torus((int(v) % 32) * enc_scale)) for v in dec.reshape(-1)]
-    ).reshape(dec.shape)
+        [int(f64_to_torus(int(v) * enc_scale)) for v in digs.reshape(-1)]
+    )
     noise = measure_phase_noise(
-        rsum.reshape(-1, pr.n0 + 1), skr.lv0, expected_mu.reshape(-1)
+        np.asarray(rsum).reshape(-1, pr.n0 + 1), skr.lv0, expected_mu
     )
     sig_design, _ = lut_margin(pr, 32)
     sigma_meas = float(noise.std())

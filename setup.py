@@ -1,4 +1,4 @@
-"""Build hook: compile the native client runtime (csrc/tfhe_client.cpp) into
+"""Build hook: compile the native runtime (csrc/*.cpp) into
 rs_tfhe_tpu/native/libtfhe_client.so at wheel/install time.
 
 The library is optional — rs_tfhe_tpu.native also compiles it on demand with
@@ -19,14 +19,15 @@ from setuptools.command.build_py import build_py
 class BuildWithNative(build_py):
     def run(self):
         root = Path(__file__).resolve().parent
-        src = root / "csrc" / "tfhe_client.cpp"
+        srcs = [root / "csrc" / "tfhe_client.cpp",
+                root / "csrc" / "circuit_scheduler.cpp"]
         out = root / "rs_tfhe_tpu" / "native" / "libtfhe_client.so"
         cxx = shutil.which("g++") or shutil.which("clang++")
-        if cxx and src.exists():
+        if cxx and all(s.exists() for s in srcs):
             try:
                 subprocess.run(
                     [cxx, "-O3", "-std=c++17", "-fPIC", "-Wall", "-shared",
-                     "-o", str(out), str(src)],
+                     "-o", str(out), *[str(s) for s in srcs]],
                     check=True,
                 )
             except subprocess.CalledProcessError:

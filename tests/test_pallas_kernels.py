@@ -115,3 +115,18 @@ def test_gate_correct_with_rounded_bsk(rng):
     out = gates.nand(a, b, ck)
     got = np.asarray(lwe_decrypt_bool(out, sk.lv0))
     np.testing.assert_array_equal(got, ~(np.asarray(m) & ~np.asarray(m)))
+
+
+def test_select_fb_vmem_caps():
+    """Pin the measured VMEM envelope: N=1024 tiles at 128; N=2048 caps at
+    64 single-tile / 32 multi-tile (fb=128 resp. 64 OOM Mosaic there);
+    small batches shrink to the next power of two >= 8."""
+    from rs_tfhe_tpu.ops.blind_rotate import select_fb
+
+    assert select_fb(4096, 1024) == 128
+    assert select_fb(128, 1024) == 128
+    assert select_fb(1, 1024) == 8
+    assert select_fb(20, 1024) == 32
+    assert select_fb(64, 2048) == 64   # single tile
+    assert select_fb(512, 2048) == 32  # multi-tile halves
+    assert select_fb(8, 2048) == 8

@@ -1,0 +1,51 @@
+"""Batch-scaling perf assertion — parity with the reference's #[ignore]d
+perf tests (trgsw.rs:548-648, gates.rs:683-782: `assert!(speedup >= 1.5)`
+for batched vs one-at-a-time evaluation).
+
+Runs at TEST_TINY on CPU: the batched scan amortizes per-step overhead, so
+evaluating 64 gates in one batch must beat 64 sequential single-gate calls
+by well over the reference's 1.5x bar. Marked slow-ish but cheap enough
+(~20 s warm) to keep in the default run.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rs_tfhe_tpu import gates
+from rs_tfhe_tpu.tlwe import lwe_encrypt_bool
+
+
+def test_batched_gate_speedup_at_least_reference_bar(tiny, sk, ck, rng):
+    n = 64
+    bits_a = rng.integers(0, 2, n).astype(bool)
+    bits_b = rng.integers(0, 2, n).astype(bool)
+    a = lwe_encrypt_bool(jax.random.key(1), sk.lv0, jnp.asarray(bits_a),
+                         tiny.tlwe_lv0.alpha)
+    b = lwe_encrypt_bool(jax.random.key(2), sk.lv0, jnp.asarray(bits_b),
+                         tiny.tlwe_lv0.alpha)
+
+    # warm both trace shapes
+    jax.block_until_ready(gates.nand(a, b, ck))
+    jax.block_until_ready(gates.nand(a[:1], b[:1], ck))
+
+    t0 = time.perf_counter()
+    out_b = gates.nand(a, b, ck)
+    jax.block_until_ready(out_b)
+    batched = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    outs = [gates.nand(a[i : i + 1], b[i : i + 1], ck) for i in range(n)]
+    jax.block_until_ready(outs)
+    sequential = time.perf_counter() - t0
+
+    speedup = sequential / batched
+    assert speedup >= 1.5, f"batched speedup {speedup:.2f} < reference bar 1.5"
+    # and the batch computed the right thing
+    from rs_tfhe_tpu.tlwe import lwe_decrypt_bool
+
+    np.testing.assert_array_equal(
+        np.asarray(lwe_decrypt_bool(out_b, sk.lv0)), ~(bits_a & bits_b)
+    )
