@@ -25,10 +25,10 @@ class Config:
     dot_impl: str = os.environ.get("RS_TFHE_DOT_IMPL", "int8")
     #: blind-rotation implementation:
     #:   "auto"       — the whole-rotation VMEM kernel whenever eligible
-    #:                  (TPU, shared testvec, digit_limbs == 1; batches pad
-    #:                  to 128-row tiles), Nussbaumer for small
-    #:                  per-ciphertext-LUT batches, the dot_general
-    #:                  circulant path otherwise;
+    #:                  (TPU, N % 128 == 0; shared or per-ciphertext test
+    #:                  vectors, single- or multi-limb digits; batch tiles
+    #:                  auto-sized fb = 8..128), the dot_general circulant
+    #:                  path otherwise (CPU, odd shapes);
     #:   "xla"        — force the dot_general circulant path;
     #:   "nussbaumer" — force the Nussbaumer transform path
     #:                  (ops/nussbaumer.py);

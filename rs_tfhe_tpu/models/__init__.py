@@ -13,3 +13,11 @@ from .circuits import (  # noqa: F401
     greater_than,
     sub,
 )
+from .netlist import (  # noqa: F401
+    Circuit,
+    Gate,
+    Plan,
+    evaluate,
+    plan,
+    ripple_carry_adder,
+)

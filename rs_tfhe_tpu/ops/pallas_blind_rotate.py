@@ -18,8 +18,9 @@ HBM traffic for a whole bootstrap batch tile: stream the limb-split BSK
 (~68 MB at SECURITY_128_BIT, double-buffered by the Pallas pipeline) plus one
 accumulator write — versus ~100 MB *per step* for the unfused path.
 
-Eligibility: digit_limbs == 1, N % 128 == 0, batch % tile == 0, shared test
-vector. Other shapes fall back to ops/blind_rotate.py's XLA path.
+Eligibility: N % 128 == 0 and batch % tile == 0 (shared or per-ciphertext
+test vectors; single- or multi-limb digits). Other shapes fall back to
+ops/blind_rotate.py's XLA path.
 """
 
 from __future__ import annotations
@@ -61,24 +62,38 @@ def _barrel_rotate_2d(x: jax.Array, k: jax.Array, n: int) -> jax.Array:
     return x
 
 
-def _decompose_i8(diffs, params: TfheParams) -> jax.Array:
-    """diffs: pair of uint32 [FB, N] -> int8 [FB, 2L*N] digits, TRGSW row
-    order (a-poly digits then b-poly digits, reference trgsw.rs:158-168)."""
+def _decompose_i8(diffs, params: TfheParams) -> list[list[jax.Array]]:
+    """diffs: pair of uint32 [FB, N] -> 2L rows of digit_limbs int8 [FB, N]
+    planes, TRGSW row order (a-poly digits then b-poly digits, reference
+    trgsw.rs:158-168). For bgbit <= 8 each digit is one int8 plane; wider
+    gadgets (the Uint sets, bgbit up to 23) split each digit into balanced
+    signed base-256 limbs so the MXU contraction stays int8-exact. Planes
+    are kept separate — the dots consume them per (row, digit-limb)."""
     g = params.trgsw_lv1
     mask = jnp.uint32(g.bg - 1)
     half = jnp.int32(g.half_bg)
+    dl_count = params.digit_limbs
     offset = jnp.uint32(
         (params.decomposition_offset + params.decomposition_round_bit)
         & 0xFFFFFFFF
     )
-    cols = []
+    rows = []
     for poly in range(2):
         tmp = diffs[poly] + offset
         for i in range(g.l):
             shift = jnp.uint32(TORUS_BITS - (i + 1) * g.bgbit)
             d = ((tmp >> shift) & mask).astype(jnp.int32) - half
-            cols.append(d.astype(jnp.int8))
-    return jnp.concatenate(cols, axis=-1)  # [FB, 2L*N]
+            if dl_count == 1:
+                rows.append([d.astype(jnp.int8)])
+            else:
+                limbs = []
+                rem = d
+                for _ in range(dl_count):
+                    low = ((rem + jnp.int32(128)) & jnp.int32(255)) - jnp.int32(128)
+                    limbs.append(low.astype(jnp.int8))
+                    rem = jax.lax.shift_right_arithmetic(rem - low, jnp.int32(8))
+                rows.append(limbs)
+    return rows
 
 
 def _build_w_packed(x: jax.Array, blk: int) -> jax.Array:
@@ -92,6 +107,19 @@ def _build_w_packed(x: jax.Array, blk: int) -> jax.Array:
     k = 1
     while k < blk:
         w = jnp.concatenate([w, pltpu.roll(w, k, axis=1)], axis=0)
+        k *= 2
+    return w
+
+
+def _build_w_packed_all(x: jax.Array, blk: int) -> jax.Array:
+    """Joint roll chain for ALL 2L*2 packed step polys at once:
+    x int32 [R, 2N] -> [R, blk, 2N] with out[r, mi, c] = x[r, (c - mi)].
+    Same bytes as R separate chains but log2(blk) LARGE VPU ops instead of
+    R*log2(blk) small ones (VPU efficiency rises with op size)."""
+    w = x[:, None, :]
+    k = 1
+    while k < blk:
+        w = jnp.concatenate([w, pltpu.roll(w, k, axis=2)], axis=1)
         k *= 2
     return w
 
@@ -120,22 +148,31 @@ def _kernel(
     a_k = atil_ref[0, :, :]  # [FB, 1] int32
     acc = [out_ref[:, poly, :] for poly in range(2)]
     diffs = [_barrel_rotate_2d(acc[poly], a_k, n) - acc[poly] for poly in range(2)]
-    lhs = _decompose_i8(diffs, params)  # [FB, 2L*N] int8
+    planes = _decompose_i8(diffs, params)  # 2L x int8 [FB, N]
 
+    # ONE joint roll chain for every (o, j) packed step poly (the 4 int8
+    # limb planes travel inside each int32 word; Mosaic rejects int8
+    # rotates): log2(128) large VPU ops replace 2*2L small chains.
+    wp_all = _build_w_packed_all(
+        bsk_ref[0].reshape(2 * j_rows, two_n), 128
+    )  # [2*2L, 128, 2N] i32
+
+    dl_count = params.digit_limbs
     for o in range(2):
-        acc_q = [jnp.zeros((fb, n), dtype=jnp.int32) for _ in range(4)]
+        # acc_s[s] accumulates every (digit-limb dl, BSK-limb q) product
+        # with dl + q == s; s >= 4 shifts past 2^32 and vanishes, which is
+        # why 3-limb digits cost 9 dots per (o, j), not 12.
+        acc_s = [jnp.zeros((fb, n), dtype=jnp.int32) for _ in range(4)]
         for j in range(j_rows):
-            # ONE roll chain per (o, j) on the byte-packed limbs (the 4 int8
-            # limb planes travel inside one int32 word), then unpack — 4x
-            # fewer int32 roll chains than per-(o, q, j) builds.
-            wp = _build_w_packed(bsk_ref[0, o, j, :], 128)  # [128, 2N] i32
-            lhs_j = lhs[:, j * n : (j + 1) * n]
+            wp = wp_all[o * j_rows + j]  # [128, 2N] i32
             # drop_limbs > 0: the BSK is a reduced-modulus key (low bytes
             # zero — grid-sampled mask + rounded body, key.py), so the low
             # limb planes are identically zero and their MXU dots are
             # skipped — 25% fewer MACs at drop_limbs=1 with noise far below
             # the decryption margin (utils/noise.py models the term).
             for q in range(drop_limbs, 4):
+                if q + dl_count <= drop_limbs or q > 3:
+                    continue
                 wq = jax.lax.shift_right_arithmetic(
                     jnp.left_shift(wp, jnp.int32(24 - 8 * q)), jnp.int32(24)
                 ).astype(jnp.int8)  # [128, 2N]
@@ -149,18 +186,22 @@ def _kernel(
                     ],
                     axis=0,
                 )  # [N, N]
-                acc_q[q] += jax.lax.dot_general(
-                    lhs_j,
-                    rhs,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
+                for dl in range(dl_count):
+                    s = q + dl
+                    if s > 3:
+                        continue
+                    acc_s[s] += jax.lax.dot_general(
+                        planes[j][dl],
+                        rhs,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
         uacc = jnp.zeros((fb, n), dtype=jnp.uint32)
-        for q in range(drop_limbs, 4):
-            shift = 8 * q
+        for s in range(drop_limbs, 4):
+            shift = 8 * s
             if shift < TORUS_BITS:
                 uacc = uacc + (
-                    jax.lax.bitcast_convert_type(acc_q[q], jnp.uint32)
+                    jax.lax.bitcast_convert_type(acc_s[s], jnp.uint32)
                     << jnp.uint32(shift)
                 )
         out_ref[:, o, :] = acc[o] + uacc
@@ -169,9 +210,11 @@ def _kernel(
 def eligible(
     params: TfheParams, batch: int, testvec_ndim: int, fb: int = _FB
 ) -> bool:
+    # multi-limb digits (Uint sets, bgbit > 8) are handled in-kernel since
+    # round 2: each digit splits into balanced int8 limbs and (dl, q) limb
+    # pairs shifting past 2^32 are skipped
     return (
-        params.digit_limbs == 1
-        and params.n1 % 128 == 0
+        params.n1 % 128 == 0
         and batch % fb == 0
         and testvec_ndim in (2, 3)  # shared or per-ciphertext test vectors
     )

@@ -130,3 +130,43 @@ def test_select_fb_vmem_caps():
     assert select_fb(64, 2048) == 64   # single tile
     assert select_fb(512, 2048) == 32  # multi-tile halves
     assert select_fb(8, 2048) == 8
+
+
+#: multi-limb tiny set: bgbit=10 -> digits split into 2 balanced int8 limbs
+KP_ML = TfheParams(
+    security_bits=0,
+    description="kernel-eligible tiny set, multi-limb digits",
+    tlwe_lv0=TlweParams(n=8, alpha=1.0e-9),
+    tlwe_lv1=TlweParams(n=128, alpha=1.0e-12),
+    trlwe_lv1=TrlweParams(n=128, alpha=1.0e-12),
+    trgsw_lv1=TrgswParams(n=128, nbit=7, bgbit=10, l=2, basebit=2, iks_t=8,
+                          alpha=1.0e-12),
+)
+
+
+def test_fused_blind_rotate_multilimb_matches_xla(rng):
+    """bgbit=10 digits need 2 balanced int8 limbs; the kernel's (dl, q)
+    limb-pair contraction must reproduce the XLA multi-limb path exactly."""
+    assert KP_ML.digit_limbs == 2
+    batch, n0, n1 = 128, KP_ML.n0, KP_ML.n1
+    bsk = jnp.asarray(
+        rng.integers(0, 1 << 32, (n0, 2 * KP_ML.trgsw_lv1.l, 2, n1),
+                     dtype=np.uint32)
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+
+    import rs_tfhe_tpu.config as CC
+    prev = CC.config.step_impl
+    CC.config.step_impl = "xla"  # force the scan path for the oracle
+    try:
+        ref = np.asarray(BR.blind_rotate(ct, tv, bsk, KP_ML))
+    finally:
+        CC.config.step_impl = prev
+
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], KP_ML)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], KP_ML).T
+    got = fused_blind_rotate(
+        b_til, a_til, tv, prepare_bsk_limbs(bsk), KP_ML, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
