@@ -5,6 +5,7 @@ from .arithmetic import (  # noqa: F401
     apply_lut_radix,
     decrypt_radix,
     encrypt_radix,
+    mul_radix,
 )
 from .circuits import (  # noqa: F401
     add_kogge_stone,

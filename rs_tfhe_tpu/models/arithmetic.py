@@ -97,3 +97,131 @@ def apply_lut_radix(ct: jax.Array, f, ck: CloudKey, base_bits: int = 3):
     modulus = 1 << (base_bits + 1)
     lut = Generator(modulus, ck.params).generate_lookup_table(f).poly
     return bootstrap_with_testvec(ct, lut, ck)
+
+
+def _col_bounds(d: int, base: int) -> list[int]:
+    """Exact worst-case column-sum bounds for mul_radix's carry-save stage:
+    column k sums (base-1)-valued lo products (i+j=k), hi products
+    (i+j=k-1) and the incoming carry."""
+    def n_pairs(k):
+        return max(0, min(k, d - 1) - max(0, k - d + 1) + 1)
+
+    bounds, carry = [], 0
+    for k in range(2 * d):
+        t = (base - 1) * (n_pairs(k) + n_pairs(k - 1)) + carry
+        bounds.append(t)
+        carry = t // base
+    return bounds
+
+
+def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
+    """Ciphertext x ciphertext multiplication over base-2^b digit vectors —
+    a capability the reference does not have (its only multiplications are
+    plaintext scalars, tlwe.rs:160-214).
+
+    a, b: uint32 [..., D, n0+1] (encrypt_radix encoding). Returns the full
+    2D-digit product. Three batched-PBS stages, all margins engineered for
+    SECURITY_128_BIT_RADIX (utils.noise.lut_margin):
+
+      1. re-encode (one batched PBS, 2D cts): a_i -> v/(2*base) raw,
+         b_j -> v/(2*base^2) raw, so the LINEAR sum base*a_i + b_j becomes
+         a modulus-base^2 encoding of the digit pair w = base*v_a + v_b.
+      2. bivariate products (one batched per-ct-LUT PBS, 2*D^2 cts):
+         lo_ij = (w//base)*(w%base) mod base and hi_ij = .. // base, both
+         output at scale 1/(4*base^2) for the column stage.
+      3. carry-save columns (2 PBS per column, sequential in k): column
+         sums are linear; exact bounds (_col_bounds) stay under the
+         modulus-2*base^2 range (e.g. 27 < 32 at D=4, base=4), then one
+         PBS extracts the standard-encoded digit and one the carry.
+
+    Total: 2D^2 + 6D programmable bootstraps (56 for 8-bit x 8-bit),
+    batched over any leading dims. Requires _col_bounds < 2*base^2
+    (asserted): base_bits=2 supports D <= 4 (8-bit operands).
+    """
+    d = a.shape[-2]
+    base = 1 << base_bits
+    m_pair = base * base
+    m_col = 2 * base * base
+    bounds = _col_bounds(d, base)
+    assert max(bounds) < m_col, (
+        f"column bound {max(bounds)} overflows modulus {m_col}; "
+        f"reduce D or base_bits"
+    )
+    m_enc = 1 << (base_bits + 1)  # standard digit encoding modulus
+
+    gen_enc = Generator(m_enc, ck.params)
+    full32 = np.uint64(1) << 32
+    # stage 1: re-encode digits for pairing (input modulus m_enc)
+    lut_a = gen_enc.generate_lookup_table_full(
+        lambda v: np.uint32((v % base) * full32 // (2 * base) % full32)
+    ).poly
+    lut_b = gen_enc.generate_lookup_table_full(
+        lambda v: np.uint32((v % base) * full32 // (2 * m_pair) % full32)
+    ).poly
+    both = jnp.concatenate([a, b], axis=-2)  # [..., 2D, n+1]
+    tvs = jnp.concatenate(
+        [
+            jnp.broadcast_to(lut_a, (*a.shape[:-1], *lut_a.shape)),
+            jnp.broadcast_to(lut_b, (*b.shape[:-1], *lut_b.shape)),
+        ],
+        axis=-3,
+    )
+    enc = bootstrap_with_testvec(both, tvs, ck)
+    a2, b2 = enc[..., :d, :], enc[..., d:, :]
+
+    # stage 2: all D^2 pairs, lo/hi products via per-ciphertext LUTs
+    gen_pair = Generator(m_pair, ck.params)
+    lut_lo = gen_pair.generate_lookup_table_full(
+        lambda w: np.uint32(((w // base) * (w % base) % base) * full32
+                            // (2 * m_col) % full32)
+    ).poly
+    lut_hi = gen_pair.generate_lookup_table_full(
+        lambda w: np.uint32(((w // base) * (w % base) // base) * full32
+                            // (2 * m_col) % full32)
+    ).poly
+    pairs = a2[..., :, None, :] + b2[..., None, :, :]  # [..., D, D, n+1]
+    pairs = pairs.reshape(*pairs.shape[:-3], d * d, pairs.shape[-1])
+    pp = jnp.concatenate([pairs, pairs], axis=-2)  # lo block then hi block
+    tvs2 = jnp.concatenate(
+        [
+            jnp.broadcast_to(lut_lo, (*pairs.shape[:-1], *lut_lo.shape)),
+            jnp.broadcast_to(lut_hi, (*pairs.shape[:-1], *lut_hi.shape)),
+        ],
+        axis=-3,
+    )
+    prod = bootstrap_with_testvec(pp, tvs2, ck)
+    lo = prod[..., : d * d, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
+    hi = prod[..., d * d :, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
+
+    # stage 3: column carry-save (input modulus m_col)
+    gen_col = Generator(m_col, ck.params)
+    lut_dig = gen_col.generate_lookup_table_full(
+        lambda t: np.uint32((t % base) * full32 // (2 * m_enc) % full32)
+    ).poly
+    lut_car = gen_col.generate_lookup_table_full(
+        lambda t: np.uint32((t % m_col) // base * full32 // (2 * m_col) % full32)
+    ).poly
+    outs = []
+    carry = None
+    for k in range(2 * d):
+        s = None
+        for i in range(d):
+            j = k - i
+            if 0 <= j < d:
+                s = lo[..., i, j, :] if s is None else s + lo[..., i, j, :]
+            j2 = k - 1 - i
+            if 0 <= j2 < d:
+                s = hi[..., i, j2, :] if s is None else s + hi[..., i, j2, :]
+        if carry is not None:
+            s = s + carry
+        if k + 1 < 2 * d:
+            pair = jnp.stack([s, s], axis=-2)
+            tv = jnp.broadcast_to(
+                jnp.stack([lut_dig, lut_car]), (*s.shape[:-1], 2, *lut_dig.shape)
+            )
+            res = bootstrap_with_testvec(pair, tv, ck)
+            outs.append(res[..., 0, :])
+            carry = res[..., 1, :]
+        else:
+            outs.append(bootstrap_with_testvec(s, lut_dig, ck))
+    return jnp.stack(outs, axis=-2)

@@ -226,6 +226,37 @@ def main():
                 chain=xor_into_body)
     record("proxy_hop_b4096", 4096 / dt, "hops/s")
 
+    # --- other parameter families (skippable: RS_TFHE_BENCH_EXTRA=0) ---
+    if os.environ.get("RS_TFHE_BENCH_EXTRA", "1") == "1":
+        from rs_tfhe_tpu.models.arithmetic import decrypt_radix
+
+        pr = ALL_SECURITY_SETS["SECURITY_128_BIT_RADIX"]
+        skr = SecretKey.generate(jax.random.key(30), pr)
+        ckr = CloudKey.generate(jax.random.key(31), skr)
+        xs = rng.integers(0, 256, 64)
+        ys = rng.integers(0, 256, 64)
+        ra = encrypt_radix(jax.random.key(32), skr.lv0, xs, 2, pr, base_bits=4)
+        rb = encrypt_radix(jax.random.key(33), skr.lv0, ys, 2, pr, base_bits=4)
+        # keys must be jit ARGUMENTS here: closure-captured CloudKeys become
+        # HLO constants and the N=2048 KSK (~320 MB) exceeds the remote-
+        # compile request cap (HTTP 413)
+        dt = timeit(lambda x, y, k: add_radix(x, y, k, base_bits=4), ra, rb,
+                    ckr, iters=1)
+        record("radix_nibble_add8_b64_RADIX", dt * 1e3 / 64, "ms/add")
+
+        pu = ALL_SECURITY_SETS["SECURITY_UINT4"]
+        sku = SecretKey.generate(jax.random.key(40), pu)
+        cku = CloudKey.generate(jax.random.key(41), sku)
+        m16 = jnp.asarray(rng.integers(0, 16, 2048), jnp.uint32)
+        ctu = lwe_encrypt_message(jax.random.key(42), sku.lv0, m16, 16,
+                                  pu.tlwe_lv0.alpha)
+        dt = timeit(
+            lambda x, k: BS.LutBootstrap().bootstrap_func(
+                x, lambda v: (v * 3 + 1) % 16, 16, k
+            ),
+            ctu, cku, iters=2, chain=xor_into_body)
+        record("uint4_pbs_b2048", 2048 / dt, "PBS/s")
+
     out = {
         "device": str(dev),
         "params": pname,

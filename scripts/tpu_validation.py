@@ -2,7 +2,8 @@
 
 Runs every major capability end-to-end at production parameters and asserts
 100% correctness: all 12 gate truth tables, MUX, programmable bootstrapping,
-radix arithmetic, a 16-bit Kogge-Stone addition, proxy re-encryption, and
+radix arithmetic (including the RADIX-set nibble add and ciphertext
+multiply), a 16-bit Kogge-Stone addition, proxy re-encryption, and
 key-serialization round trips. Complements the CPU test suite (TEST_TINY)
 and bench.py (throughput only).
 
@@ -174,6 +175,18 @@ def main() -> None:
           f"=> {margin_sigmas:.1f} sigma of base-16 margin "
           f"(model floor {sig_design:.1f} incl. next-PBS modswitch)")
     check("RADIX base-16 margin >= 6 sigma measured", margin_sigmas >= 6.0)
+
+    # ciphertext x ciphertext multiplication (beyond the reference)
+    xs8 = rng.integers(0, 256, 32)
+    ys8 = rng.integers(0, 256, 32)
+    ma = models.encrypt_radix(jax.random.key(34), skr.lv0, xs8, 4, pr, base_bits=2)
+    mb = models.encrypt_radix(jax.random.key(35), skr.lv0, ys8, 4, pr, base_bits=2)
+    mprod = models.mul_radix(ma, mb, ckr, base_bits=2)
+    mdec = np.asarray(models.decrypt_radix(mprod, skr.lv0, base_bits=2))
+    check(
+        "RADIX 8-bit x 8-bit ciphertext multiply (32 trials, 56 PBS each)",
+        (mdec == xs8 * ys8).all(),
+    )
 
     print(f"\nALL {PASS} CHECKS PASSED "
           f"({time.perf_counter() - t0:.0f}s total)")

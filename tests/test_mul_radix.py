@@ -1,0 +1,74 @@
+"""Ciphertext x ciphertext radix multiplication (models.mul_radix) — a
+capability beyond the reference (its only multiplications are plaintext
+scalars, tlwe.rs:160-214).
+
+TEST_TINY's N=64 ring cannot hold modulus-32 LUT margins (the mod-switch
+floor alone is ~1.7 sigma), so these tests run a dedicated N=256 tiny set
+whose margins the noise model puts at ~6.5 sigma — deterministic enough
+for CI. Production use: SECURITY_128_BIT_RADIX (7+ sigma, validated on
+TPU by scripts/tpu_validation.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rs_tfhe_tpu.key import CloudKey, SecretKey
+from rs_tfhe_tpu.models.arithmetic import (
+    _col_bounds,
+    decrypt_radix,
+    encrypt_radix,
+    mul_radix,
+)
+from rs_tfhe_tpu.params import TfheParams, TlweParams, TrgswParams, TrlweParams
+
+MP = TfheParams(
+    security_bits=0,
+    description="insecure tiny set with modulus-32 LUT margins (N=256)",
+    tlwe_lv0=TlweParams(n=16, alpha=1.0e-9),
+    tlwe_lv1=TlweParams(n=256, alpha=1.0e-12),
+    trlwe_lv1=TrlweParams(n=256, alpha=1.0e-12),
+    trgsw_lv1=TrgswParams(n=256, nbit=8, bgbit=6, l=3, basebit=2, iks_t=8,
+                          alpha=1.0e-12),
+)
+
+
+@pytest.fixture(scope="module")
+def mkeys():
+    sk = SecretKey.generate(jax.random.key(50), MP)
+    ck = CloudKey.generate(jax.random.key(51), sk)
+    return sk, ck
+
+
+def test_col_bounds_stay_under_modulus():
+    # D=4, base=4 is the documented 8-bit envelope
+    assert max(_col_bounds(4, 4)) < 32
+    assert max(_col_bounds(2, 4)) < 32
+    # D=5 would overflow — the assert in mul_radix must catch it
+    assert max(_col_bounds(8, 4)) >= 32
+
+
+def test_mul_radix_4bit(mkeys, rng):
+    """2-digit base-4 operands (4-bit x 4-bit -> 8-bit product)."""
+    sk, ck = mkeys
+    xs = rng.integers(0, 16, 6)
+    ys = rng.integers(0, 16, 6)
+    a = encrypt_radix(jax.random.key(52), sk.lv0, xs, 2, MP, base_bits=2)
+    b = encrypt_radix(jax.random.key(53), sk.lv0, ys, 2, MP, base_bits=2)
+    out = mul_radix(a, b, ck, base_bits=2)
+    assert out.shape[-2] == 4
+    got = np.asarray(decrypt_radix(out, sk.lv0, base_bits=2))
+    np.testing.assert_array_equal(got, xs * ys)
+
+
+def test_mul_radix_8bit(mkeys, rng):
+    """4-digit base-4 operands (8-bit x 8-bit -> 16-bit product)."""
+    sk, ck = mkeys
+    xs = rng.integers(0, 256, 4)
+    ys = rng.integers(0, 256, 4)
+    a = encrypt_radix(jax.random.key(54), sk.lv0, xs, 4, MP, base_bits=2)
+    b = encrypt_radix(jax.random.key(55), sk.lv0, ys, 4, MP, base_bits=2)
+    out = mul_radix(a, b, ck, base_bits=2)
+    assert out.shape[-2] == 8
+    got = np.asarray(decrypt_radix(out, sk.lv0, base_bits=2))
+    np.testing.assert_array_equal(got, xs * ys)
