@@ -1,12 +1,13 @@
 """8-bit addition in 3 programmable bootstraps via nibble LUTs
 (reference: examples/lut_add_two_numbers.rs, README.md:220).
 
-At SECURITY_128_BIT_RADIX (N=2048, engineered for 7.3 sigma of base-16
+At SECURITY_128_BIT_NIBBLE (N=4096, certified ~6.5 sigma of base-16
 margin — utils.noise.lut_margin) this runs the reference's literal
-headline: two 4-bit digits, 3 PBS, reliably. The N=1024 sets only have
-~2-4 sigma at modulus 32, so they fall back to 3-bit digits (5 PBS).
+headline: two 4-bit digits, 3 PBS, with p_fail < 1e-9.
+SECURITY_128_BIT_RADIX (N=2048) also runs nibbles ~50x faster at ~3.7
+sigma (p ~ 1e-4); the N=1024 sets fall back to 3-bit digits (5 PBS).
 
-    python examples/lut_add_two_numbers.py --params SECURITY_128_BIT_RADIX --x 137 --y 205
+    python examples/lut_add_two_numbers.py --params SECURITY_128_BIT_NIBBLE --x 137 --y 205
 """
 
 import jax
@@ -20,7 +21,7 @@ def main():
     args = parse_args(__doc__, x=137, y=205)
     sk, ck = make_keys(args.param_set)
     if args.param_set.n1 >= 2048:
-        base_bits = 4  # nibbles: 8-bit add in 3 PBS
+        base_bits = 4  # nibbles: 8-bit add in 3 PBS (certified at N=4096)
     elif args.param_set.n1 >= 1024:
         base_bits = 3
     else:

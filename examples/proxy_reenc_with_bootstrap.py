@@ -10,7 +10,7 @@ so chains can extend indefinitely.
 import jax
 import jax.numpy as jnp
 import numpy as np
-from _common import make_keys, parse_args, timed
+from _common import parse_args, timed
 
 from rs_tfhe_tpu import gates, proxy_reenc as pre
 from rs_tfhe_tpu.key import CloudKey, SecretKey

@@ -10,7 +10,7 @@ builds the re-encryption key from Bob's *public* key only.
 import jax
 import jax.numpy as jnp
 import numpy as np
-from _common import make_keys, parse_args
+from _common import parse_args
 
 from rs_tfhe_tpu import proxy_reenc as pre
 from rs_tfhe_tpu.key import SecretKey

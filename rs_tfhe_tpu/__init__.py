@@ -15,6 +15,7 @@ from .params import (  # noqa: F401
     SECURITY_110_BIT,
     SECURITY_128_BIT,
     SECURITY_128_BIT_FAST,
+    SECURITY_128_BIT_NIBBLE,
     SECURITY_128_BIT_RADIX,
     SECURITY_UINT1,
     SECURITY_UINT2,

@@ -58,12 +58,13 @@ def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
     (batched into the same blind rotation) extracts the carry.
 
     base_bits=4 is the reference's "8-bit add in 3 PBS" nibble method
-    (README.md:220). Its modulus-32 encoding leaves only ~2 sigma of
-    mod-switch margin at the N=1024 sets (the reference has the same bound,
-    plus an uncentered-decomposition bias we fixed) — use
-    SECURITY_128_BIT_RADIX (N=2048), engineered for ~7.3 sigma at base 16
-    (utils.noise.lut_margin), to run nibbles reliably. At the N=1024 sets
-    the default base_bits=3 (modulus 16) is the right choice.
+    (README.md:220). Margins by parameter set (utils.noise.lut_margin):
+    the N=1024 sets give ~1-2 sigma at modulus 32 (the reference has the
+    same bound, plus an uncentered-decomposition bias we fixed);
+    SECURITY_128_BIT_RADIX (N=2048) gives ~3.7 sigma (p ~ 1e-4/PBS, 200x
+    the reference's reliability, and 7.3 sigma = certified at base_bits=3);
+    SECURITY_128_BIT_NIBBLE (N=4096) certifies base_bits=4 at ~6.5 sigma
+    (p < 1e-9) — use it when nibble adds must not fail.
     """
     d = a.shape[-2]
     base = 1 << base_bits
@@ -137,6 +138,11 @@ def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
     Total: 2D^2 + 6D programmable bootstraps (56 for 8-bit x 8-bit),
     batched over any leading dims. Requires _col_bounds < 2*base^2
     (asserted): base_bits=2 supports D <= 4 (8-bit operands).
+
+    Margins: the modulus-32 column stage is the binding one
+    (utils.noise.lut_margin(params, 32, 8)): ~6.5 sigma (p < 1e-9) at
+    SECURITY_128_BIT_NIBBLE — the certified choice — vs ~3.4 sigma
+    (p ~ 7e-4/PBS) at SECURITY_128_BIT_RADIX.
     """
     d = a.shape[-2]
     base = 1 << base_bits

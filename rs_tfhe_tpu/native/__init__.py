@@ -10,7 +10,6 @@ SPQLIOS C++ core (rs-tfhe src/fft/spqlios/). The shared object is built with
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

@@ -25,7 +25,6 @@ Reference semantics: external product accumulate, rs-tfhe trgsw.rs:77-116.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -127,6 +127,7 @@ def _build_w_packed_all(x: jax.Array, blk: int) -> jax.Array:
 def _kernel(
     tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams,
     per_ct_tv: bool = False, drop_limbs: int = 0, fb: int = _FB,
+    col_chunk: int | None = None,
 ):
     n = params.n1
     g = params.trgsw_lv1
@@ -152,19 +153,37 @@ def _kernel(
 
     # ONE joint roll chain for every (o, j) packed step poly (the 4 int8
     # limb planes travel inside each int32 word; Mosaic rejects int8
-    # rotates): log2(128) large VPU ops replace 2*2L small chains.
-    wp_all = _build_w_packed_all(
-        bsk_ref[0].reshape(2 * j_rows, two_n), 128
-    )  # [2*2L, 128, 2N] i32
+    # rotates): log2(128) large VPU ops replace 2*2L small chains. At
+    # N > 2048 the joint chain (2*2L * 128 * 2N i32) would exceed VMEM —
+    # fall back to per-(o, j) chains there.
+    joint_chain = n <= 2048
+    if joint_chain:
+        wp_all = _build_w_packed_all(
+            bsk_ref[0].reshape(2 * j_rows, two_n), 128
+        )  # [2*2L, 128, 2N] i32
+
+    # Output columns split into <= 1024-wide chunks so the materialized
+    # circulant slice stays <= 4 MB: at N = 4096 (SECURITY_128_BIT_NIBBLE)
+    # a full [N, N] int8 operand alone is 16 MB and OOMs Mosaic (measured).
+    cc = min(n, 1024) if col_chunk is None else col_chunk
+    n_chunks = n // cc
 
     dl_count = params.digit_limbs
     for o in range(2):
-        # acc_s[s] accumulates every (digit-limb dl, BSK-limb q) product
-        # with dl + q == s; s >= 4 shifts past 2^32 and vanishes, which is
-        # why 3-limb digits cost 9 dots per (o, j), not 12.
-        acc_s = [jnp.zeros((fb, n), dtype=jnp.int32) for _ in range(4)]
+        # acc_s[s][ch] accumulates every (digit-limb dl, BSK-limb q)
+        # product with dl + q == s for output-column chunk ch; s >= 4
+        # shifts past 2^32 and vanishes, which is why 3-limb digits cost
+        # 9 dots per (o, j), not 12. Chunk accumulators stay separate SSA
+        # values (registers), concatenated once at the end.
+        acc_s = [
+            [jnp.zeros((fb, cc), dtype=jnp.int32) for _ in range(n_chunks)]
+            for _ in range(4)
+        ]
         for j in range(j_rows):
-            wp = wp_all[o * j_rows + j]  # [128, 2N] i32
+            if joint_chain:
+                wp = wp_all[o * j_rows + j]  # [128, 2N] i32
+            else:
+                wp = _build_w_packed(bsk_ref[0, o, j, :], 128)
             # drop_limbs > 0: the BSK is a reduced-modulus key (low bytes
             # zero — grid-sampled mask + rounded body, key.py), so the low
             # limb planes are identically zero and their MXU dots are
@@ -177,31 +196,40 @@ def _kernel(
                     jnp.left_shift(wp, jnp.int32(24 - 8 * q)), jnp.int32(24)
                 ).astype(jnp.int8)  # [128, 2N]
                 w2 = jnp.concatenate([wq, wq], axis=1)  # [128, 4N]
-                rhs = jnp.concatenate(
-                    [
-                        jax.lax.slice(
-                            w2, (0, two_n - 128 * u), (128, two_n - 128 * u + n)
+                for ch in range(n_chunks):
+                    c0 = ch * cc
+                    rhs = jnp.concatenate(
+                        [
+                            jax.lax.slice(
+                                w2,
+                                (0, two_n - 128 * u + c0),
+                                (128, two_n - 128 * u + c0 + cc),
+                            )
+                            for u in range(n // 128)
+                        ],
+                        axis=0,
+                    )  # [N, cc]
+                    for dl in range(dl_count):
+                        s = q + dl
+                        if s > 3:
+                            continue
+                        acc_s[s][ch] += jax.lax.dot_general(
+                            planes[j][dl],
+                            rhs,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32,
                         )
-                        for u in range(n // 128)
-                    ],
-                    axis=0,
-                )  # [N, N]
-                for dl in range(dl_count):
-                    s = q + dl
-                    if s > 3:
-                        continue
-                    acc_s[s] += jax.lax.dot_general(
-                        planes[j][dl],
-                        rhs,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32,
-                    )
         uacc = jnp.zeros((fb, n), dtype=jnp.uint32)
         for s in range(drop_limbs, 4):
             shift = 8 * s
             if shift < TORUS_BITS:
+                full = (
+                    acc_s[s][0]
+                    if n_chunks == 1
+                    else jnp.concatenate(acc_s[s], axis=1)
+                )
                 uacc = uacc + (
-                    jax.lax.bitcast_convert_type(acc_s[s], jnp.uint32)
+                    jax.lax.bitcast_convert_type(full, jnp.uint32)
                     << jnp.uint32(shift)
                 )
         out_ref[:, o, :] = acc[o] + uacc
@@ -215,6 +243,10 @@ def eligible(
     # pairs shifting past 2^32 are skipped
     return (
         params.n1 % 128 == 0
+        and params.n1 <= 4096  # larger rings would need smaller column
+        #                        chunks / tiles than measured; N=4096
+        #                        (SECURITY_128_BIT_NIBBLE) works at fb<=16
+        #                        with 1024-wide rhs chunks
         and batch % fb == 0
         and testvec_ndim in (2, 3)  # shared or per-ciphertext test vectors
     )
@@ -234,7 +266,8 @@ def prepare_bsk_limbs(bsk: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "interpret", "drop_limbs", "fb")
+    jax.jit,
+    static_argnames=("params", "interpret", "drop_limbs", "fb", "col_chunk"),
 )
 def fused_blind_rotate(
     b_til: jax.Array,
@@ -245,6 +278,7 @@ def fused_blind_rotate(
     interpret: bool = False,
     drop_limbs: int = 0,
     fb: int = _FB,
+    col_chunk: int | None = None,
 ) -> jax.Array:
     """b_til: int32 [B]; a_til: int32 [n0, B]; testvec: uint32 [2, N]
     (shared) or [B, 2, N] (per-ciphertext LUTs); bsk_limbs: int32
@@ -261,7 +295,7 @@ def fused_blind_rotate(
 
     kernel = functools.partial(
         _kernel, params=params, per_ct_tv=per_ct_tv, drop_limbs=drop_limbs,
-        fb=fb,
+        fb=fb, col_chunk=col_chunk,
     )
     tv_spec = (
         pl.BlockSpec((fb, 2, n), lambda ft, st: (ft, 0, 0), memory_space=pltpu.VMEM)
@@ -289,5 +323,14 @@ def fused_blind_rotate(
             (fb, 2, n), lambda ft, st: (ft, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, 2, n), jnp.uint32),
+        # N = 4096 (SECURITY_128_BIT_NIBBLE) peaks ~20-24 MB of scoped VMEM
+        # (the 2N-wide packed roll chain + its doubling transients); the
+        # compiler's default scoped limit is 16 MB, the hardware has more —
+        # raise the cap for the big-ring shapes only.
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if n > 2048
+            else None
+        ),
         interpret=interpret,
     )(testvec, b_til[None, :, None], a_til[:, :, None], bsk_limbs)

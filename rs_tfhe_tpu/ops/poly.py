@@ -19,7 +19,6 @@ scalar FFT butterflies.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -290,12 +290,10 @@ SECURITY_128_BIT_FAST = TfheParams(
     bsk_round_bits=8,
 )
 
-#: Engineered for reliable multi-bit (LUT/radix) arithmetic — reclaims the
-#: reference's "8-bit add in 3 PBS" nibble headline (README.md:220,
-#: examples/lut_add_two_numbers.rs) WITH real margins instead of its ~2.4
-#: sigma at N=1024. Design: every noise term is pushed below the
-#: mod-switch rounding floor (var = (n0+1)/(2N)^2/12, irreducible at given
-#: n0, N), then N=2048 shrinks that floor 4x:
+#: The FAST multi-bit (LUT/radix) arithmetic set. Every noise term is
+#: engineered below the mod-switch rounding floor (var = (n0+1)/(2N)^2/12,
+#: irreducible at given n0, N), and N=2048 shrinks that floor 4x vs the
+#: N=1024 sets:
 #:   - lv0 (n=820, alpha=2.52e-6): the reference's own Uint4-Uint5 lv0 pair
 #:     (params.rs:194), so the lv0 hardness claim is inherited, not invented;
 #:   - ring N=2048, alpha=1e-14: conservative vs the >=128-bit GLWE(1, 2048)
@@ -304,17 +302,48 @@ SECURITY_128_BIT_FAST = TfheParams(
 #:   - gadget L=3, Bg=2^8 (24-bit precision, digits int8-exact so the fused
 #:     kernel applies); KSK basebit=2, t=12 (24-bit precision, one-hot dim
 #:     N*t*4 = 98k keeps the keyswitch matmul ~3x SECURITY_128_BIT's).
-#: utils/noise.py: base-16 digit sums (modulus 32, 3 summands) sit at
-#: ~7.3 sigma => p_fail ~ 3e-13 per PBS; base-8 at ~15 sigma. No BSK
+#: Margins (utils/noise.lut_margin, the CORRECTED 1/(4m) formula): base-8
+#: digit sums (modulus 16, 3 summands) at ~7.5 sigma => p ~ 3e-14 per PBS
+#: (certified reliable); base-16 (modulus 32) at ~3.7 sigma => p ~ 1e-4 —
+#: 200x better than the reference's ~2 sigma nibble method at N=1024, but
+#: NOT <1e-9: use SECURITY_128_BIT_NIBBLE for certified base-16. No BSK
 #: rounding: at alpha_bsk = 1e-14 the rounding term would dominate.
 SECURITY_128_BIT_RADIX = TfheParams(
     security_bits=128,
-    description="128-bit security, N=2048 ring for reliable base-16 radix LUTs",
+    description="128-bit security, N=2048 ring for fast radix LUT arithmetic",
     tlwe_lv0=TlweParams(n=820, alpha=0.0000025167616095979554),
     tlwe_lv1=TlweParams(n=2048, alpha=1.0e-14),
     trlwe_lv1=TrlweParams(n=2048, alpha=1.0e-14),
     trgsw_lv1=TrgswParams(
         n=2048, nbit=11, bgbit=8, l=3, basebit=2, iks_t=12, alpha=1.0e-14
+    ),
+)
+
+#: The CERTIFIED base-16 (nibble) set — the reference's "8-bit add in 3
+#: PBS" headline (README.md:220, examples/lut_add_two_numbers.rs) with
+#: >= 6 sigma of real margin instead of its ~2 sigma. The mod-switch floor
+#: fixes the required geometry: margin 1/(4*32) at 6 sigma needs
+#: sigma <= 1.3e-3, i.e. (n0+1)/(2N)^2/12 <= 1.7e-6 with every other term
+#: negligible — so:
+#:   - lv0 (n=1160, alpha=1.966e-8): the reference's own Uint7/Uint8 lv0
+#:     pair (params.rs:229), whose tiny alpha makes key-switch noise
+#:     vanish (var ~ 2e-11);
+#:   - ring N=4096, alpha=2.2e-17 (far above the ~2^-62 standard for
+#:     128-bit GLWE(1, 4096) = extra noise = extra-conservative), gadget
+#:     L=3/Bg=2^8, KSK basebit=2/t=12.
+#: lut_margin: base-16 3-summand sums at ~6.5 sigma => p ~ 4e-10 < 1e-9;
+#: mul_radix's 8-summand columns identical (the modswitch floor dominates).
+#: ~50x the per-PBS MACs of SECURITY_128_BIT_FAST — this set buys
+#: certainty, SECURITY_128_BIT_RADIX buys speed.
+SECURITY_128_BIT_NIBBLE = TfheParams(
+    security_bits=128,
+    description="128-bit security, N=4096 ring: certified base-16 nibble LUTs",
+    tlwe_lv0=TlweParams(n=1160, alpha=1.9662200074984027e-8),
+    tlwe_lv1=TlweParams(n=4096, alpha=2.2204460492503131e-17),
+    trlwe_lv1=TrlweParams(n=4096, alpha=2.2204460492503131e-17),
+    trgsw_lv1=TrgswParams(
+        n=4096, nbit=12, bgbit=8, l=3, basebit=2, iks_t=12,
+        alpha=2.2204460492503131e-17,
     ),
 )
 
@@ -339,6 +368,7 @@ ALL_SECURITY_SETS = {
     "SECURITY_128_BIT": SECURITY_128_BIT,
     "SECURITY_128_BIT_FAST": SECURITY_128_BIT_FAST,
     "SECURITY_128_BIT_RADIX": SECURITY_128_BIT_RADIX,
+    "SECURITY_128_BIT_NIBBLE": SECURITY_128_BIT_NIBBLE,
     "SECURITY_UINT1": SECURITY_UINT1,
     "SECURITY_UINT2": SECURITY_UINT2,
     "SECURITY_UINT3": SECURITY_UINT3,

@@ -139,16 +139,24 @@ def lut_margin(
     m/(2*modulus) message encoding — the radix-arithmetic decision margin
     (models/arithmetic.add_radix: digit + digit + carry = 3 summands).
 
-    margin = 1/(2*modulus); variance = n * var_out + modswitch rounding.
-    SECURITY_128_BIT_RADIX was engineered with this function: base-16
-    digits (modulus 32) at ~7.3 sigma; SECURITY_128_BIT_FAST gives ~3.6
-    sigma there (hence its base-8 default).
+    margin = 1/(4*modulus): messages sit 1/(2*modulus) apart, so the
+    decision boundary is HALF a step from each plateau center. (An early
+    round-2 version of this function used 1/(2*modulus) — off by 2x; the
+    mistake was caught by a reproducible single-digit failure in a 256-
+    trial hardware run at exactly the tail probability the corrected
+    formula predicts. Trust the halved margin.)
+
+    Variance = n * var_out + modswitch rounding. The modswitch term,
+    (n0+1)/(2N)^2/12, is the floor: certifying base-16 (modulus 32) at
+    >= 6 sigma requires an N=4096 ring with a low-noise lv0
+    (SECURITY_128_BIT_NIBBLE, ~6.5 sigma); SECURITY_128_BIT_RADIX
+    (N=2048) gives ~7.5 sigma at base-8 but only ~3.7 sigma at base-16.
     """
     est = estimate(params)
     n0, n1 = params.n0, params.n1
     var_modswitch = (n0 + 1) * (1.0 / (2.0 * n1)) ** 2 / 12.0
     sigma = math.sqrt(n_summands * est.bootstrap_out_std**2 + var_modswitch)
-    margin = 1.0 / (2.0 * message_modulus)
+    margin = 1.0 / (4.0 * message_modulus)
     sigmas = margin / sigma
     return sigmas, _erfc(sigmas / math.sqrt(2.0))
 

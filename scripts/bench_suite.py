@@ -228,8 +228,6 @@ def main():
 
     # --- other parameter families (skippable: RS_TFHE_BENCH_EXTRA=0) ---
     if os.environ.get("RS_TFHE_BENCH_EXTRA", "1") == "1":
-        from rs_tfhe_tpu.models.arithmetic import decrypt_radix
-
         pr = ALL_SECURITY_SETS["SECURITY_128_BIT_RADIX"]
         skr = SecretKey.generate(jax.random.key(30), pr)
         ckr = CloudKey.generate(jax.random.key(31), skr)

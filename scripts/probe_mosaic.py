@@ -5,8 +5,6 @@ rolls, and int8<->int32 lane bitcasts. Re-test each on the current JAX
 release before committing to the round-2 kernel redesign.
 """
 
-import functools
-import traceback
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ from rs_tfhe_tpu import gates
 from rs_tfhe_tpu.bootstrap import LutBootstrap
 from rs_tfhe_tpu.lut.encoder import Encoder
 from rs_tfhe_tpu.lut.generator import Generator
-from rs_tfhe_tpu.tlwe import lwe_decrypt_message, lwe_encrypt_bool, lwe_encrypt_message
-from rs_tfhe_tpu.torus import f64_to_torus
+from rs_tfhe_tpu.tlwe import lwe_encrypt_bool, lwe_encrypt_message
 from rs_tfhe_tpu.utils import profiling
 
 

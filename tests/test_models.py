@@ -6,7 +6,6 @@ Mirrors the reference's example-based integration tests
 
 import jax
 import numpy as np
-import pytest
 
 from rs_tfhe_tpu import models
 from rs_tfhe_tpu.bit_utils import decrypt_uint, encrypt_uint, from_bits

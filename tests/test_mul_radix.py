@@ -3,13 +3,13 @@ capability beyond the reference (its only multiplications are plaintext
 scalars, tlwe.rs:160-214).
 
 TEST_TINY's N=64 ring cannot hold modulus-32 LUT margins (the mod-switch
-floor alone is ~1.7 sigma), so these tests run a dedicated N=256 tiny set
-whose margins the noise model puts at ~6.5 sigma — deterministic enough
-for CI. Production use: SECURITY_128_BIT_RADIX (7+ sigma, validated on
-TPU by scripts/tpu_validation.py)."""
+floor alone is ~1 sigma with the corrected 1/(4m) decision distance), so
+these tests run a dedicated N=512 tiny set (~6.7 sigma on the 8-summand
+columns) — deterministic enough for CI. Production use:
+SECURITY_128_BIT_NIBBLE (6.5 sigma certified, validated on TPU by
+scripts/tpu_validation.py)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -24,11 +24,11 @@ from rs_tfhe_tpu.params import TfheParams, TlweParams, TrgswParams, TrlweParams
 
 MP = TfheParams(
     security_bits=0,
-    description="insecure tiny set with modulus-32 LUT margins (N=256)",
+    description="insecure tiny set with modulus-32 LUT margins (N=512)",
     tlwe_lv0=TlweParams(n=16, alpha=1.0e-9),
-    tlwe_lv1=TlweParams(n=256, alpha=1.0e-12),
-    trlwe_lv1=TrlweParams(n=256, alpha=1.0e-12),
-    trgsw_lv1=TrgswParams(n=256, nbit=8, bgbit=6, l=3, basebit=2, iks_t=8,
+    tlwe_lv1=TlweParams(n=512, alpha=1.0e-12),
+    trlwe_lv1=TrlweParams(n=512, alpha=1.0e-12),
+    trgsw_lv1=TrgswParams(n=512, nbit=9, bgbit=6, l=3, basebit=2, iks_t=8,
                           alpha=1.0e-12),
 )
 

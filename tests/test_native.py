@@ -80,7 +80,6 @@ def test_native_decompose_matches_jax(tiny, rng):
 
 def test_native_key_switch_matches_jax(sk, ck, rng):
     """Native lv1->lv0 key switch == the JAX one-hot-matmul key switch."""
-    import rs_tfhe_tpu.key as K
     from rs_tfhe_tpu.ops.keyswitch import identity_key_switch as jax_ks
     from rs_tfhe_tpu.tlwe import lwe_encrypt_bool
 

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from rs_tfhe_tpu import native
-from rs_tfhe_tpu.bit_utils import decrypt_uint, encrypt_uint
+from rs_tfhe_tpu.bit_utils import encrypt_uint
 from rs_tfhe_tpu.models import netlist as NL
 from rs_tfhe_tpu.tlwe import lwe_decrypt_bool, lwe_encrypt_bool
 

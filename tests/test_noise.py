@@ -45,31 +45,47 @@ def test_bootstrap_output_noise_within_model(tiny, sk, ck, rng):
     assert noise.std() < 2.0 * est.bootstrap_out_std + 1e-9
 
 
-def test_radix_set_margins_support_nibble_headline():
-    """SECURITY_128_BIT_RADIX was engineered so base-16 digit arithmetic
-    (the reference's '8-bit add in 3 PBS' method) has >= 6 sigma of margin
-    (VERDICT round-1 item 6). Pin the design numbers."""
-    from rs_tfhe_tpu.params import SECURITY_128_BIT_FAST, SECURITY_128_BIT_RADIX
+def test_radix_and_nibble_set_margins():
+    """Pin the engineered margins (lut_margin, with the CORRECTED 1/(4m)
+    decision distance — the early 1/(2m) version was caught by a
+    reproducible single-digit failure at exactly the predicted tail):
+    RADIX (N=2048) certifies base-8; NIBBLE (N=4096) certifies base-16
+    ('8-bit add in 3 PBS', VERDICT round-1 item 6) at < 1e-9."""
+    from rs_tfhe_tpu.params import (
+        SECURITY_128_BIT_FAST,
+        SECURITY_128_BIT_NIBBLE,
+        SECURITY_128_BIT_RADIX,
+    )
     from rs_tfhe_tpu.utils.noise import lut_margin
 
-    s16, p16 = lut_margin(SECURITY_128_BIT_RADIX, 32)
+    s8, p8 = lut_margin(SECURITY_128_BIT_RADIX, 16)
+    assert s8 >= 6.0 and p8 < 1e-9, (s8, p8)
+    s16r, p16r = lut_margin(SECURITY_128_BIT_RADIX, 32)
+    assert 3.0 < s16r < 6.0  # fast set: usable (1e-4) but not certified
+
+    s16, p16 = lut_margin(SECURITY_128_BIT_NIBBLE, 32)
     assert s16 >= 6.0, s16
     assert p16 < 1e-9, p16
-    s8, _ = lut_margin(SECURITY_128_BIT_RADIX, 16)
-    assert s8 >= 12.0
-    # and the boolean-gate margin is comfortable too
-    est = estimate(SECURITY_128_BIT_RADIX)
+    smul, pmul = lut_margin(SECURITY_128_BIT_NIBBLE, 32, 8)  # mul columns
+    assert smul >= 6.0 and pmul < 1e-9, (smul, pmul)
+    est = estimate(SECURITY_128_BIT_NIBBLE)
     assert est.gate_fail_prob < 1e-30
-    # the N=1024 sets genuinely cannot do base 16 — that's why RADIX exists
+    # the N=1024 sets genuinely cannot do base 16 — that's why these exist
     s16_fast, _ = lut_margin(SECURITY_128_BIT_FAST, 32)
     assert s16_fast < 3.0
 
 
 def test_radix_set_is_fused_kernel_eligible():
     from rs_tfhe_tpu.ops.pallas_blind_rotate import eligible
-    from rs_tfhe_tpu.params import SECURITY_128_BIT_RADIX as R
+    from rs_tfhe_tpu.params import (
+        SECURITY_128_BIT_NIBBLE as NB,
+        SECURITY_128_BIT_RADIX as R,
+    )
 
     assert R.digit_limbs == 1
     assert eligible(R, 128, 2)
     # gadget constants stay on any future BSK grid choice
     assert 32 - R.trgsw_lv1.l * R.trgsw_lv1.bgbit >= 8
+    # NIBBLE's N=4096 runs the kernel too (1024-wide rhs column chunks)
+    assert NB.digit_limbs == 1
+    assert eligible(NB, 128, 2)

@@ -7,7 +7,6 @@ kernels honest in CI without TPU hardware. Shapes: smallest eligible
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import rs_tfhe_tpu.config as C
 from rs_tfhe_tpu.ops import blind_rotate as BR
@@ -170,3 +169,22 @@ def test_fused_blind_rotate_multilimb_matches_xla(rng):
         b_til, a_til, tv, prepare_bsk_limbs(bsk), KP_ML, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_blind_rotate_column_chunks_match(rng):
+    """The chunked-rhs path (used at N=4096 where a full circulant tile
+    OOMs VMEM) must be bit-identical to the single-chunk path."""
+    batch, n0, n1 = 128, KP.n0, KP.n1
+    bsk = jnp.asarray(
+        rng.integers(0, 1 << 32, (n0, 2 * KP.trgsw_lv1.l, 2, n1), dtype=np.uint32)
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], KP)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], KP).T
+    packed = prepare_bsk_limbs(bsk)
+    one = fused_blind_rotate(b_til, a_til, tv, packed, KP, interpret=True)
+    chunked = fused_blind_rotate(
+        b_til, a_til, tv, packed, KP, interpret=True, col_chunk=64
+    )  # 2 chunks at N=128
+    np.testing.assert_array_equal(np.asarray(one), np.asarray(chunked))

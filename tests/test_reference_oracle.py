@@ -11,8 +11,6 @@ and that where we match the reference we match it EXACTLY (key switching,
 blind rotation under matching conventions, full gate bootstrap).
 """
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

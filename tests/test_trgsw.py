@@ -2,7 +2,6 @@
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from rs_tfhe_tpu import tlwe, trgsw, trlwe
 from rs_tfhe_tpu.ops.blind_rotate import blind_rotate
