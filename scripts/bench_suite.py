@@ -255,6 +255,18 @@ def main():
             ctu, cku, iters=2, chain=xor_into_body)
         record("uint4_pbs_b2048", 2048 / dt, "PBS/s")
 
+        # the certified base-16 set (N=4096): nibble add rate
+        pb = ALL_SECURITY_SETS["SECURITY_128_BIT_NIBBLE"]
+        skb = SecretKey.generate(jax.random.key(50), pb)
+        ckb = CloudKey.generate(jax.random.key(51), skb)
+        xs = rng.integers(0, 256, 64)
+        ys = rng.integers(0, 256, 64)
+        na = encrypt_radix(jax.random.key(52), skb.lv0, xs, 2, pb, base_bits=4)
+        nb = encrypt_radix(jax.random.key(53), skb.lv0, ys, 2, pb, base_bits=4)
+        dt = timeit(lambda x, y, k: add_radix(x, y, k, base_bits=4), na, nb,
+                    ckb, iters=1)
+        record("nibble_add8_3pbs_b64_NIBBLE", dt * 1e3 / 64, "ms/add")
+
     out = {
         "device": str(dev),
         "params": pname,
