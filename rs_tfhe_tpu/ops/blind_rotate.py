@@ -59,20 +59,18 @@ def _use_pallas_step(params: TfheParams, batch: int) -> bool:
 def select_fb(batch: int, n1: int) -> int:
     """Batch-tile rows for the fused kernel.
 
-    VMEM-scaled cap: the kernel's per-program footprint grows ~linearly in
-    N (acc, lhs, rhs, limb accumulators), so N=2048 parameter sets
-    (SECURITY_128_BIT_RADIX) cap at 64 rows — fb=128 OOMs Mosaic there
-    (measured); N=1024 keeps the full 128. Multi-tile runs additionally
-    double-buffer the acc/testvec blocks across tiles, which at N=2048
-    pushes fb=64 over VMEM too (measured): halve again when more than one
-    tile is in flight. Batches below the cap shrink to the next power of
-    two >= 8 — per-step cost is then VPU-build-bound (batch-independent),
-    which is what makes a padded single gate run in ~12 ms.
+    fb=128 is fastest at EVERY ring size once the kernel raises the
+    compiler's 16 MB scoped-VMEM cap for n > 1024 (measured on v5e:
+    N=1024 7.6k rot/s; N=2048 892 vs 840 at fb=64; N=4096 186 vs 74 at
+    the old N-scaled fb=16 — the earlier N-scaled caps in this function
+    predated the cap discovery and are obsolete). fb=256 is ~25% SLOWER
+    at N=1024 (VMEM pressure degrades double-buffering, as in round 1).
+    Batches below 128 shrink to the next power of two >= 8 — per-step
+    cost is then VPU-build-bound (batch-independent), which is what makes
+    a padded single gate run in ~12 ms.
     """
-    max_fb = max(8, (128 * 1024) // n1)
-    if n1 > 1024 and batch > max_fb:
-        max_fb = max(8, max_fb // 2)
-    return max_fb if batch >= max_fb else max(8, 1 << (batch - 1).bit_length())
+    del n1
+    return 128 if batch >= 128 else max(8, 1 << (batch - 1).bit_length())
 
 
 def modswitch(x: jax.Array, params: TfheParams) -> jax.Array:

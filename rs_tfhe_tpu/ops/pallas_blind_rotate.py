@@ -324,12 +324,13 @@ def fused_blind_rotate(
         ),
         out_shape=jax.ShapeDtypeStruct((batch, 2, n), jnp.uint32),
         # N = 4096 (SECURITY_128_BIT_NIBBLE) peaks ~20-24 MB of scoped VMEM
-        # (the 2N-wide packed roll chain + its doubling transients); the
-        # compiler's default scoped limit is 16 MB, the hardware has more —
-        # raise the cap for the big-ring shapes only.
+        # (the 2N-wide packed roll chain + its doubling transients), and
+        # large batch tiles grow the live set similarly; the compiler's
+        # default scoped limit is 16 MB, the hardware has more — raise the
+        # cap for the big shapes.
         compiler_params=(
             pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if n > 2048
+            if n > 1024 or fb > 128
             else None
         ),
         interpret=interpret,

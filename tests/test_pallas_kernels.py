@@ -116,18 +116,17 @@ def test_gate_correct_with_rounded_bsk(rng):
     np.testing.assert_array_equal(got, ~(np.asarray(m) & ~np.asarray(m)))
 
 
-def test_select_fb_vmem_caps():
-    """Pin the measured VMEM envelope: N=1024 tiles at 128; N=2048 caps at
-    64 single-tile / 32 multi-tile (fb=128 resp. 64 OOM Mosaic there);
-    small batches shrink to the next power of two >= 8."""
+def test_select_fb():
+    """fb=128 at every ring size (the kernel raises the scoped-VMEM cap
+    for n > 1024); small batches shrink to the next power of two >= 8."""
     from rs_tfhe_tpu.ops.blind_rotate import select_fb
 
     assert select_fb(4096, 1024) == 128
     assert select_fb(128, 1024) == 128
     assert select_fb(1, 1024) == 8
     assert select_fb(20, 1024) == 32
-    assert select_fb(64, 2048) == 64   # single tile
-    assert select_fb(512, 2048) == 32  # multi-tile halves
+    assert select_fb(512, 2048) == 128
+    assert select_fb(512, 4096) == 128
     assert select_fb(8, 2048) == 8
 
 
