@@ -96,13 +96,21 @@ class LutBootstrap:
     def __init__(self):
         self._lut_cache: dict = {}
 
+    # Bounded so caches keyed by fresh lambdas can't grow without limit.
+    _LUT_CACHE_MAX = 64
+
     def bootstrap_func(self, ct, f, message_modulus: int, ck: CloudKey):
-        key = (f, message_modulus, id(ck.params))
+        # TfheParams is a frozen (hashable) dataclass — key on it directly.
+        # (id(params) could be reused by a new object after a GC, silently
+        # returning a LUT built for different parameters.)
+        key = (f, message_modulus, ck.params)
         lut = self._lut_cache.get(key)
         if lut is None:
             from .lut.generator import Generator
 
             lut = Generator(message_modulus, ck.params).generate_lookup_table(f)
+            if len(self._lut_cache) >= self._LUT_CACHE_MAX:
+                self._lut_cache.pop(next(iter(self._lut_cache)))
             self._lut_cache[key] = lut
         return self.bootstrap_lut(ct, lut, ck)
 

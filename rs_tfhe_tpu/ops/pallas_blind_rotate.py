@@ -189,9 +189,9 @@ def _kernel(
             # limb planes are identically zero and their MXU dots are
             # skipped — 25% fewer MACs at drop_limbs=1 with noise far below
             # the decryption margin (utils/noise.py models the term).
+            # q starts at drop_limbs (zero limb planes skipped); limb pairs
+            # with q + dl > 3 are skipped at the inner `s > 3` check below.
             for q in range(drop_limbs, 4):
-                if q + dl_count <= drop_limbs or q > 3:
-                    continue
                 wq = jax.lax.shift_right_arithmetic(
                     jnp.left_shift(wp, jnp.int32(24 - 8 * q)), jnp.int32(24)
                 ).astype(jnp.int8)  # [128, 2N]
@@ -243,10 +243,10 @@ def eligible(
     # pairs shifting past 2^32 are skipped
     return (
         params.n1 % 128 == 0
-        and params.n1 <= 4096  # larger rings would need smaller column
-        #                        chunks / tiles than measured; N=4096
-        #                        (SECURITY_128_BIT_NIBBLE) works at fb<=16
-        #                        with 1024-wide rhs chunks
+        and params.n1 <= 4096  # fb=128 works at every measured ring size
+        #                        (N=4096 via 1024-wide rhs column chunks +
+        #                        the raised scoped-VMEM cap, NOTES-PERF.md);
+        #                        larger rings are simply unmeasured
         and batch % fb == 0
         and testvec_ndim in (2, 3)  # shared or per-ciphertext test vectors
     )

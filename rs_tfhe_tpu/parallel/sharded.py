@@ -92,11 +92,13 @@ def data_parallel_gate(
 
 @partial(jax.jit, static_argnames=("mesh", "impl"))
 def _dp_mux(a, b, c, ck: CloudKey, mesh: Mesh, impl: str = "auto"):
-    del impl
     from ..gates import _mux_impl
 
     def shard_fn(a_l, b_l, c_l, ck_l):
-        return _mux_impl(a_l, b_l, c_l, ck_l)
+        # Thread the outer static impl through: _mux_impl is independently
+        # jitted, so calling it with its default ("auto") would freeze the
+        # config.step_impl read at its first trace (CLAUDE.md invariant).
+        return _mux_impl(a_l, b_l, c_l, ck_l, impl)
 
     return jax.shard_map(
         shard_fn,

@@ -60,10 +60,11 @@ class TfheParams:
     trgsw_lv1: TrgswParams
     #: Round the bootstrapping key to 32 - bsk_round_bits torus bits at key
     #: generation (key.round_bsk). Classic BSK modulus reduction: the rounding
-    #: error is uniform noise ~2^-(32-rb), far below bsk_alpha's absolute
-    #: noise for the boolean sets, so security (an LWE sample with slightly
-    #: MORE noise) and correctness (utils/noise.py models the term) both
-    #: hold — while the zeroed low limb planes let the fused kernel skip
+    #: error is uniform noise ~2^-(32-rb) — at rb=8 its std (~1.7e-8) is
+    #: comparable to bsk_alpha (2e-8) and is accounted for in utils/noise.py,
+    #: where the boolean sets' margins still hold (~14 sigma). Security (an
+    #: LWE sample with slightly MORE noise) and correctness both hold —
+    #: while the zeroed low limb planes let the fused kernel skip
     #: rb/8 of its int8 MXU passes (ops/pallas_blind_rotate.py drop_limbs).
     #: No reference analog (the reference's f64 FFT cannot exploit it).
     bsk_round_bits: int = 0
@@ -294,8 +295,8 @@ SECURITY_128_BIT_FAST = TfheParams(
 #: engineered below the mod-switch rounding floor (var = (n0+1)/(2N)^2/12,
 #: irreducible at given n0, N), and N=2048 shrinks that floor 4x vs the
 #: N=1024 sets:
-#:   - lv0 (n=820, alpha=2.52e-6): the reference's own Uint4-Uint5 lv0 pair
-#:     (params.rs:194), so the lv0 hardness claim is inherited, not invented;
+#:   - lv0 (n=820, alpha=2.52e-6): the reference's own Uint3/Uint4 lv0 pair
+#:     (params.rs:210/239), so the lv0 hardness claim is inherited, not invented;
 #:   - ring N=2048, alpha=1e-14: conservative vs the >=128-bit GLWE(1, 2048)
 #:     noise used across public TFHE libraries (e.g. TFHE-rs' 2.845e-15;
 #:     larger alpha = more noise = harder LWE);

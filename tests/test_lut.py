@@ -91,3 +91,27 @@ def test_lut_strategy_as_default_bootstrap(tiny, sk, ck):
     out = bs.bootstrap(ct, ck)
     dec = tlwe.lwe_decrypt_message(out, sk.lv0, 2)
     assert np.array_equal(dec, np.asarray(msgs))
+
+
+def test_lookup_table_trlwe_conversions(tiny, sk, ck):
+    """as_trlwe/from_trlwe parity (reference lut/lookup_table.rs:76-86):
+    a LUT wraps a TRLWE ciphertext and converts both ways losslessly; an
+    ENCRYPTED TRLWE round-trips through the LUT type and still decrypts."""
+    import jax.numpy as jnp
+    from rs_tfhe_tpu.lut.lookup_table import LookupTable
+    from rs_tfhe_tpu import trlwe
+
+    n = tiny.n1
+    msg = jnp.asarray(np.random.default_rng(7).integers(0, 2, n).astype(bool))
+    ct = trlwe.trlwe_encrypt_bool(
+        jax.random.key(99), sk.lv1, msg, tiny.trlwe_lv1.alpha
+    )
+    lut = LookupTable.from_trlwe(ct)
+    back = lut.as_trlwe()
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(ct))
+    dec = trlwe.trlwe_decrypt_bool(back, sk.lv1)
+    np.testing.assert_array_equal(np.asarray(dec), np.asarray(msg))
+    # shape validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        LookupTable.from_trlwe(jnp.zeros((3, n), jnp.uint32))
