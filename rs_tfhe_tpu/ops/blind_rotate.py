@@ -40,6 +40,9 @@ from .poly import (
 )
 
 
+_FB_WIDE = 128  # wide-kernel batch granularity (its tile size)
+
+
 def _use_pallas_step(params: TfheParams, batch: int) -> bool:
     """Per-step fused kernel: explicit selection only — at large batches XLA
     pipelines the circulant build against the MXU dots better, and at small
@@ -106,8 +109,14 @@ def blind_rotate(
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
-    if config.step_impl in ("fused", "auto"):
-        from .pallas_blind_rotate import eligible, fused_blind_rotate, prepare_bsk_limbs
+    if config.step_impl in ("fused", "fused_wide", "auto"):
+        from .pallas_blind_rotate import (
+            eligible,
+            fused_blind_rotate,
+            fused_blind_rotate_wide,
+            prepare_bsk_limbs,
+            wide_eligible,
+        )
 
         # The whole-rotation VMEM-resident kernel (with byte-packed limb
         # builds) dominates at EVERY batch size on v5e: throughput plateaus
@@ -125,6 +134,37 @@ def blind_rotate(
                 raise ValueError("fused blind rotate: shape/testvec not eligible")
             if not on_tpu:
                 raise ValueError("fused blind rotate: Mosaic kernel requires TPU")
+        drop = params.bsk_round_bits // 8
+        wide_ok = wide_eligible(
+            params, batch + ((-batch) % _FB_WIDE), testvec.ndim, drop
+        )
+        if config.step_impl == "fused_wide":
+            if not wide_ok:
+                raise ValueError(
+                    "wide blind rotate: shape/scratch not eligible"
+                )
+            if not on_tpu:
+                raise ValueError("wide blind rotate: Mosaic kernel requires TPU")
+        use_wide = config.step_impl == "fused_wide" or (
+            config.step_impl in ("fused", "auto") and wide_ok
+        )
+        if use_wide and on_tpu:
+            # step-major whole-batch-resident kernel: the per-step circulant
+            # build amortizes over every 128-row tile (1.24x at B >= 2048,
+            # measured v5e 2026-08); per-tile kernel keeps small batches.
+            pad = (-batch) % _FB_WIDE
+            b_p = jnp.pad(b_til.astype(jnp.int32), (0, pad))
+            a_p = jnp.pad(a_til.T, ((0, 0), (0, pad)))
+            tv = (
+                jnp.pad(testvec, ((0, pad), (0, 0), (0, 0)))
+                if testvec.ndim == 3
+                else testvec
+            )
+            packed = bsk_packed if bsk_packed is not None else prepare_bsk_limbs(bsk)
+            acc = fused_blind_rotate_wide(
+                b_p, a_p, tv, packed, params, drop_limbs=drop
+            )
+            return acc[:batch]
         if shapes_ok and on_tpu:
             b_p = jnp.pad(b_til.astype(jnp.int32), (0, pad))
             a_p = jnp.pad(a_til.T, ((0, 0), (0, pad)))

@@ -235,6 +235,202 @@ def _kernel(
         out_ref[:, o, :] = acc[o] + uacc
 
 
+def _kernel_wide(
+    tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *rhs_refs,
+    params: TfheParams, per_ct_tv: bool = False, drop_limbs: int = 0,
+    tile: int = _FB,
+):
+    """Step-major variant: grid = (batch_supers, n0, batch_tiles) with the
+    WHOLE super-batch accumulator resident in VMEM. The per-step circulant
+    build (the roll chains + rhs materialization, the kernel's whole VPU
+    cost apart from rotate/decompose) runs ONCE per step — at ft == 0 it is
+    written into persistent VMEM scratch — instead of once per 128-row
+    batch tile as in `_kernel` (16-32x redundant at production batches).
+    The (o, j) structure folds into the matmul itself: the 2L digit planes
+    concatenate along K and both output polys along N, so each live BSK
+    limb q is ONE [tile, 2L*N] x [2L*N, 2N] int8 dot."""
+    n = params.n1
+    g = params.trgsw_lv1
+    j_rows = 2 * g.l
+    two_n = 2 * n
+    st = pl.program_id(1)
+    ft = pl.program_id(2)
+    t0 = ft * tile
+
+    q_list = list(range(drop_limbs, 4))
+    dl_count = params.digit_limbs
+
+    @pl.when(ft == 0)
+    def _build():
+        # rhs_refs[qi][j*N + k, o*N + c] = limb_q(bsk[st, o, j])_ext[(c-k) mod 2N]
+        wp_all = _build_w_packed_all(
+            bsk_ref[0].reshape(2 * j_rows, two_n), 128
+        )  # [2*2L, 128, 2N] i32
+        for qi, q in enumerate(q_list):
+            wq = jax.lax.shift_right_arithmetic(
+                jnp.left_shift(wp_all, jnp.int32(24 - 8 * q)), jnp.int32(24)
+            ).astype(jnp.int8)  # [2*2L, 128, 2N]
+            for o in range(2):
+                for j in range(j_rows):
+                    w2 = jnp.concatenate(
+                        [wq[o * j_rows + j], wq[o * j_rows + j]], axis=1
+                    )  # [128, 4N]
+                    for u in range(n // 128):
+                        rhs_refs[qi][
+                            pl.ds(j * n + 128 * u, 128), pl.ds(o * n, n)
+                        ] = jax.lax.slice(
+                            w2, (0, two_n - 128 * u), (128, two_n - 128 * u + n)
+                        )
+
+    b_k = btil_ref[0, pl.ds(t0, tile), :]  # [tile, 1] int32
+
+    @pl.when(st == 0)
+    def _init():
+        for poly in range(2):
+            if per_ct_tv:
+                tv = tv_ref[pl.ds(t0, tile), poly, :]
+            else:
+                tv = jnp.broadcast_to(tv_ref[poly, :][None, :], (tile, n))
+            out_ref[pl.ds(t0, tile), poly, :] = _barrel_rotate_2d(tv, b_k, n)
+
+    a_k = atil_ref[0, pl.ds(t0, tile), :]  # [tile, 1] int32
+    acc = [out_ref[pl.ds(t0, tile), poly, :] for poly in range(2)]
+    diffs = [
+        _barrel_rotate_2d(acc[poly], a_k, n) - acc[poly] for poly in range(2)
+    ]
+    planes = _decompose_i8(diffs, params)  # 2L rows x dl planes [tile, N] i8
+
+    # K-concat the 2L rows per digit-limb: one wide lhs per dl
+    lhs = [
+        jnp.concatenate([planes[j][dl] for j in range(j_rows)], axis=1)
+        for dl in range(dl_count)
+    ]  # dl x [tile, 2L*N]
+
+    acc_s = {}
+    for qi, q in enumerate(q_list):
+        rhs = rhs_refs[qi][:, :]  # [2L*N, 2N]
+        for dl in range(dl_count):
+            s = q + dl
+            if s > 3:
+                continue
+            d = jax.lax.dot_general(
+                lhs[dl], rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [tile, 2N]
+            acc_s[s] = acc_s.get(s, 0) + d
+
+    for o in range(2):
+        uacc = jnp.zeros((tile, n), dtype=jnp.uint32)
+        for s, v in acc_s.items():
+            shift = 8 * s
+            if shift < TORUS_BITS:
+                uacc = uacc + (
+                    jax.lax.bitcast_convert_type(
+                        jax.lax.slice(v, (0, o * n), (tile, o * n + n)),
+                        jnp.uint32,
+                    )
+                    << jnp.uint32(shift)
+                )
+        out_ref[pl.ds(t0, tile), o, :] = acc[o] + uacc
+
+
+def wide_scratch_bytes(params: TfheParams, drop_limbs: int = 0) -> int:
+    """Persistent VMEM the wide kernel's rhs scratch needs."""
+    g = params.trgsw_lv1
+    n_q = 4 - drop_limbs
+    return n_q * (2 * g.l * params.n1) * (2 * params.n1)
+
+
+def wide_eligible(
+    params: TfheParams, batch: int, testvec_ndim: int, drop_limbs: int = 0
+) -> bool:
+    """The step-major kernel pays a scratch build per (super, step); it wins
+    when several 128-row tiles share it and the scratch + resident
+    accumulator fit VMEM (v5e: 128 MB total, ~100 MB usable)."""
+    return (
+        params.n1 % 128 == 0
+        and batch % _FB == 0
+        and batch >= 2 * _FB  # 1 tile/super: no build sharing, use _kernel
+        and testvec_ndim in (2, 3)
+        and wide_scratch_bytes(params, drop_limbs) <= 56 * 1024 * 1024
+    )
+
+
+def select_super(params: TfheParams, batch: int, drop_limbs: int) -> int:
+    """Super-batch rows resident per grid pass: as large as VMEM allows
+    (fewer supers = fewer redundant scratch builds)."""
+    budget = 96 * 1024 * 1024 - wide_scratch_bytes(params, drop_limbs)
+    acc_bytes_per_row = 2 * params.n1 * 4
+    sb = budget // (2 * acc_bytes_per_row)  # acc single + headroom for DMA
+    sb = max(_FB, min(batch, (sb // _FB) * _FB))
+    while batch % sb:
+        sb -= _FB
+    return sb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret", "drop_limbs", "super_b")
+)
+def fused_blind_rotate_wide(
+    b_til: jax.Array,
+    a_til: jax.Array,
+    testvec: jax.Array,
+    bsk_limbs: jax.Array,
+    params: TfheParams,
+    interpret: bool = False,
+    drop_limbs: int = 0,
+    super_b: int | None = None,
+) -> jax.Array:
+    """Step-major whole-batch-resident variant of `fused_blind_rotate` —
+    same contract (see it for argument shapes), restricted to batches that
+    are multiples of 128 with `wide_eligible` parameter shapes."""
+    n0 = a_til.shape[0]
+    n = params.n1
+    g = params.trgsw_lv1
+    batch = b_til.shape[0]
+    sb = super_b or select_super(params, batch, drop_limbs)
+    assert batch % sb == 0 and sb % _FB == 0
+    per_ct_tv = testvec.ndim == 3
+    j_rows = 2 * g.l
+    n_q = 4 - drop_limbs
+
+    kernel = functools.partial(
+        _kernel_wide, params=params, per_ct_tv=per_ct_tv,
+        drop_limbs=drop_limbs, tile=_FB,
+    )
+    tv_spec = (
+        pl.BlockSpec((sb, 2, n), lambda bs, st, ft: (bs, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if per_ct_tv
+        else pl.BlockSpec((2, n), lambda bs, st, ft: (0, 0),
+                          memory_space=pltpu.VMEM)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(batch // sb, n0, sb // _FB),
+        in_specs=[
+            tv_spec,
+            pl.BlockSpec((1, sb, 1), lambda bs, st, ft: (0, bs, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sb, 1), lambda bs, st, ft: (st, bs, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, j_rows, 2 * n),
+                         lambda bs, st, ft: (st, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sb, 2, n), lambda bs, st, ft: (bs, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 2, n), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((j_rows * n, 2 * n), jnp.int8) for _ in range(n_q)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(testvec, b_til[None, :, None], a_til[:, :, None], bsk_limbs)
+
+
 def eligible(
     params: TfheParams, batch: int, testvec_ndim: int, fb: int = _FB
 ) -> bool:

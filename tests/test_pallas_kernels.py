@@ -187,3 +187,86 @@ def test_fused_blind_rotate_column_chunks_match(rng):
         b_til, a_til, tv, packed, KP, interpret=True, col_chunk=64
     )  # 2 chunks at N=128
     np.testing.assert_array_equal(np.asarray(one), np.asarray(chunked))
+
+
+def test_fused_blind_rotate_wide_matches_narrow(rng):
+    """The step-major whole-batch-resident kernel (scratch-built rhs, one
+    K/N-stacked dot per limb) is bit-exact vs the per-tile kernel across
+    supers/tiles (batch 512, super 256 -> 2 supers x 2 tiles)."""
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import fused_blind_rotate_wide
+
+    batch, n0, n1 = 512, KP.n0, KP.n1
+    bsk = jnp.asarray(
+        rng.integers(0, 1 << 32, (n0, 2 * KP.trgsw_lv1.l, 2, n1), dtype=np.uint32)
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], KP)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], KP).T
+    packed = prepare_bsk_limbs(bsk)
+    ref = np.asarray(
+        fused_blind_rotate(b_til, a_til, tv, packed, KP, interpret=True)
+    )
+    got = fused_blind_rotate_wide(
+        b_til, a_til, tv, packed, KP, interpret=True, super_b=256
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_blind_rotate_wide_drop_limbs_and_per_ct_tv(rng):
+    """Wide kernel: reduced-modulus BSK (drop_limbs=1) + per-ciphertext test
+    vectors, vs the per-tile kernel."""
+    import dataclasses
+
+    from rs_tfhe_tpu.key import round_bsk
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import fused_blind_rotate_wide
+
+    kp = dataclasses.replace(KP, bsk_round_bits=8)
+    batch, n0, n1 = 256, kp.n0, kp.n1
+    bsk = round_bsk(
+        jnp.asarray(
+            rng.integers(0, 1 << 32, (n0, 2 * kp.trgsw_lv1.l, 2, n1),
+                         dtype=np.uint32)
+        ),
+        8,
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (batch, 2, n1), dtype=np.uint32))
+
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], kp)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], kp).T
+    packed = prepare_bsk_limbs(bsk)
+    ref = np.asarray(
+        fused_blind_rotate(b_til, a_til, tv, packed, kp, interpret=True,
+                           drop_limbs=1)
+    )
+    got = fused_blind_rotate_wide(
+        b_til, a_til, tv, packed, kp, interpret=True, drop_limbs=1, super_b=256
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_blind_rotate_wide_multilimb(rng):
+    """Wide kernel with 2-limb digits (bgbit=10): the (dl, q) pairs ride the
+    K-stacked lhs planes; bit-exact vs the per-tile kernel."""
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import fused_blind_rotate_wide
+
+    batch, n0, n1 = 256, KP_ML.n0, KP_ML.n1
+    bsk = jnp.asarray(
+        rng.integers(0, 1 << 32, (n0, 2 * KP_ML.trgsw_lv1.l, 2, n1),
+                     dtype=np.uint32)
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], KP_ML)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], KP_ML).T
+    packed = prepare_bsk_limbs(bsk)
+    ref = np.asarray(
+        fused_blind_rotate(b_til, a_til, tv, packed, KP_ML, interpret=True)
+    )
+    got = fused_blind_rotate_wide(
+        b_til, a_til, tv, packed, KP_ML, interpret=True, super_b=256
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
