@@ -9,8 +9,16 @@ blind rotate + sample extract + key switch) on the default JAX device and
 prints ONE JSON line. Baseline: the reference's ~15 ms/gate single-core claim
 (rs-tfhe README.md:217, BASELINE.md) = 66.7 gates/sec.
 
+The line's headline fields are the FAST-set throughput; it ALSO carries the
+apples-to-apples numbers at the literal SECURITY_128_BIT set the baseline
+names (L=3, Bg=2^6 — reference params.rs:379-404) under "strict_*" keys,
+plus single-gate (batch 1) latency for both sets, so the FAST hardness
+argument stands BESIDE a strict-set measurement rather than instead of it.
+
 Env overrides: RS_TFHE_BENCH_BATCH (default 4096), RS_TFHE_BENCH_ITERS
-(default 5), RS_TFHE_BENCH_PARAMS (default SECURITY_128_BIT_FAST).
+(default 5), RS_TFHE_BENCH_PARAMS (default SECURITY_128_BIT_FAST; setting
+it skips the extra strict-set pass), RS_TFHE_BENCH_STRICT=0 to skip the
+strict pass explicitly.
 """
 
 from __future__ import annotations
@@ -40,13 +48,10 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    batch = int(os.environ.get("RS_TFHE_BENCH_BATCH", "4096"))  # v5e sweet spot
-    iters = int(os.environ.get("RS_TFHE_BENCH_ITERS", "5"))
-    pname = os.environ.get("RS_TFHE_BENCH_PARAMS", "SECURITY_128_BIT_FAST")
+def measure(pname: str, batch: int, iters: int) -> dict:
+    """Keygen + batched NAND throughput + single-gate latency at one set."""
     params = ALL_SECURITY_SETS[pname]
-
-    log(f"device={jax.devices()[0]} params={pname} batch={batch} iters={iters}")
+    log(f"--- params={pname} batch={batch} iters={iters}")
 
     t0 = time.perf_counter()
     sk = SecretKey.generate(jax.random.key(42), params)
@@ -55,6 +60,11 @@ def main() -> None:
     # through the device tunnel; block_until_ready is not a reliable barrier)
     _ = np.asarray(jax.device_get((ck.ksk_limbs.ravel()[0], ck.bsk.ravel()[0])))
     log(f"keygen (incl. compile): {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    ck = CloudKey.generate(jax.random.key(8), sk)
+    _ = np.asarray(jax.device_get((ck.ksk_limbs.ravel()[0], ck.bsk.ravel()[0])))
+    keygen_warm = time.perf_counter() - t0
+    log(f"keygen warm: {keygen_warm * 1e3:.0f} ms")
 
     rng = np.random.default_rng(0)
     bits_a = rng.integers(0, 2, batch).astype(bool)
@@ -84,14 +94,62 @@ def main() -> None:
     log(f"{iters} chained iters: {per_iter * 1e3:.1f} ms each")
     gates_per_sec = batch / per_iter
 
+    # single-gate (batch 1) latency: chained so each gate consumes the last
+    a1, b1 = a[:1], b[:1]
+    cur = a1
+    cur = jax.block_until_ready(batch_gate("nand", cur, b1, ck))  # compile
+    lat_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(lat_iters):
+        cur = batch_gate("nand", cur, b1, ck)
+    _ = np.asarray(jax.device_get(cur[0, -1]))
+    latency_ms = (time.perf_counter() - t0) / lat_iters * 1e3
+    log(f"single-gate latency: {latency_ms:.1f} ms")
+
+    return {
+        "gates_per_sec": round(gates_per_sec, 2),
+        "latency_ms_b1": round(latency_ms, 2),
+        "keygen_warm_ms": round(keygen_warm * 1e3, 1),
+        "correctness": float(correct),
+    }
+
+
+def main() -> None:
+    batch = int(os.environ.get("RS_TFHE_BENCH_BATCH", "4096"))  # v5e sweet spot
+    iters = int(os.environ.get("RS_TFHE_BENCH_ITERS", "5"))
+    pname = os.environ.get("RS_TFHE_BENCH_PARAMS")
+    run_strict = (
+        pname is None and os.environ.get("RS_TFHE_BENCH_STRICT", "1") == "1"
+    )
+    pname = pname or "SECURITY_128_BIT_FAST"
+    log(f"device={jax.devices()[0]}")
+
+    main_res = measure(pname, batch, iters)
+
     result = {
         "metric": "gate_bootstraps_per_sec",
-        "value": round(gates_per_sec, 2),
+        "value": main_res["gates_per_sec"],
         "unit": "gates/s",
-        "vs_baseline": round(gates_per_sec / BASELINE_GATES_PER_SEC, 2),
+        "vs_baseline": round(main_res["gates_per_sec"] / BASELINE_GATES_PER_SEC, 2),
+        "params": pname,
+        "latency_ms_b1": main_res["latency_ms_b1"],
+        "keygen_warm_ms": main_res["keygen_warm_ms"],
     }
-    if correct < 1.0:
-        result["correctness"] = float(correct)
+    if main_res["correctness"] < 1.0:
+        result["correctness"] = main_res["correctness"]
+
+    if run_strict:
+        # apples-to-apples at the literal reference set BASELINE.json names
+        strict = measure("SECURITY_128_BIT", batch, iters)
+        result["strict_params"] = "SECURITY_128_BIT"
+        result["strict_gates_per_sec"] = strict["gates_per_sec"]
+        result["strict_latency_ms_b1"] = strict["latency_ms_b1"]
+        result["strict_vs_baseline"] = round(
+            strict["gates_per_sec"] / BASELINE_GATES_PER_SEC, 2
+        )
+        if strict["correctness"] < 1.0:
+            result["strict_correctness"] = strict["correctness"]
+
     print(json.dumps(result), flush=True)
 
 
