@@ -103,7 +103,9 @@ def apply_lut_radix(ct: jax.Array, f, ck: CloudKey, base_bits: int = 3):
 def _col_bounds(d: int, base: int) -> list[int]:
     """Exact worst-case column-sum bounds for mul_radix's carry-save stage:
     column k sums (base-1)-valued lo products (i+j=k), hi products
-    (i+j=k-1) and the incoming carry."""
+    (i+j=k-1) and the incoming carry. Columns whose bound reaches the
+    modulus 2*base^2 need the normalization rounds (D > 4 at base 4);
+    below it every column is a single chunk."""
     def n_pairs(k):
         return max(0, min(k, d - 1) - max(0, k - d + 1) + 1)
 
@@ -113,6 +115,21 @@ def _col_bounds(d: int, base: int) -> list[int]:
         bounds.append(t)
         carry = t // base
     return bounds
+
+
+def _greedy_chunks(terms, cap_val: int, cap_terms: int):
+    """Split [(ct, maxval), ...] into chunks whose summed maxval <= cap_val
+    and term count <= cap_terms (both caps protect the modulus-m_col LUT
+    decode: value range and summed PBS noise respectively)."""
+    chunks, cur, curmax = [], [], 0
+    for ct, mx in terms:
+        if cur and (curmax + mx > cap_val or len(cur) >= cap_terms):
+            chunks.append((cur, curmax))
+            cur, curmax = [], 0
+        cur.append(ct)
+        curmax += mx
+    chunks.append((cur, curmax))
+    return chunks
 
 
 def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
@@ -130,29 +147,32 @@ def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
       2. bivariate products (one batched per-ct-LUT PBS, 2*D^2 cts):
          lo_ij = (w//base)*(w%base) mod base and hi_ij = .. // base, both
          output at scale 1/(4*base^2) for the column stage.
-      3. carry-save columns (2 PBS per column, sequential in k): column
-         sums are linear; exact bounds (_col_bounds) stay under the
-         modulus-2*base^2 range (e.g. 27 < 32 at D=4, base=4), then one
-         PBS extracts the standard-encoded digit and one the carry.
+      3. carry-save columns (sequential in k): column sums are linear;
+         when a column's worst-case sum fits the modulus-2*base^2 range
+         (every column at D <= 4, base 4 — e.g. 27 < 32) one PBS extracts
+         the standard-encoded digit and one the carry. Wider operands
+         trigger NORMALIZATION rounds: the column's terms are greedily
+         chunked so each chunk's value bound stays < 2*base^2 and its
+         summed-PBS-noise count <= max_chunk_terms, every chunk is
+         re-split into (digit, carry) by one batched per-ct-LUT PBS, and
+         the digits re-enter the column (converges in <= 2 rounds at
+         D = 8).
 
-    Total: 2D^2 + 6D programmable bootstraps (56 for 8-bit x 8-bit),
-    batched over any leading dims. Requires _col_bounds < 2*base^2
-    (asserted): base_bits=2 supports D <= 4 (8-bit operands).
+    Total: 2D^2 + 6D programmable bootstraps when no normalization is
+    needed (56 for 8-bit x 8-bit); ~2 extra PBS per normalization chunk
+    (~230 for 16-bit x 16-bit at base 4), batched over any leading dims.
 
     Margins: the modulus-32 column stage is the binding one
-    (utils.noise.lut_margin(params, 32, 8)): ~6.5 sigma (p < 1e-9) at
-    SECURITY_128_BIT_NIBBLE — the certified choice — vs ~3.4 sigma
-    (p ~ 7e-4/PBS) at SECURITY_128_BIT_RADIX.
+    (utils.noise.lut_margin(params, 32, max_chunk_terms)): ~6.5 sigma
+    (p < 1e-9) at SECURITY_128_BIT_NIBBLE — the certified choice — vs
+    ~3.4 sigma (p ~ 7e-4/PBS) at SECURITY_128_BIT_RADIX. max_chunk_terms
+    caps summed bootstrap noise per decode at the documented 8.
     """
     d = a.shape[-2]
     base = 1 << base_bits
     m_pair = base * base
     m_col = 2 * base * base
-    bounds = _col_bounds(d, base)
-    assert max(bounds) < m_col, (
-        f"column bound {max(bounds)} overflows modulus {m_col}; "
-        f"reduce D or base_bits"
-    )
+    max_chunk_terms = 8
     m_enc = 1 << (base_bits + 1)  # standard digit encoding modulus
 
     gen_enc = Generator(m_enc, ck.params)
@@ -199,7 +219,7 @@ def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
     lo = prod[..., : d * d, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
     hi = prod[..., d * d :, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
 
-    # stage 3: column carry-save (input modulus m_col)
+    # stage 3: column carry-save with normalization (input modulus m_col)
     gen_col = Generator(m_col, ck.params)
     lut_dig = gen_col.generate_lookup_table_full(
         lambda t: np.uint32((t % base) * full32 // (2 * m_enc) % full32)
@@ -207,27 +227,60 @@ def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
     lut_car = gen_col.generate_lookup_table_full(
         lambda t: np.uint32((t % m_col) // base * full32 // (2 * m_col) % full32)
     ).poly
+    # normalization digit: back at the COLUMN scale so it re-enters the sum
+    lut_dig_col = gen_col.generate_lookup_table_full(
+        lambda t: np.uint32((t % base) * full32 // (2 * m_col) % full32)
+    ).poly
+
+    pmax = base - 1
+    terms = [[] for _ in range(2 * d + 1)]  # [(ct, worst-case value)]
+    for i in range(d):
+        for j in range(d):
+            terms[i + j].append((lo[..., i, j, :], pmax))
+            terms[i + j + 1].append((hi[..., i, j, :], pmax))
+
     outs = []
-    carry = None
     for k in range(2 * d):
-        s = None
-        for i in range(d):
-            j = k - i
-            if 0 <= j < d:
-                s = lo[..., i, j, :] if s is None else s + lo[..., i, j, :]
-            j2 = k - 1 - i
-            if 0 <= j2 < d:
-                s = hi[..., i, j2, :] if s is None else s + hi[..., i, j2, :]
-        if carry is not None:
-            s = s + carry
-        if k + 1 < 2 * d:
+        tk = terms[k]
+        while True:
+            chunks = _greedy_chunks(tk, m_col - 1, max_chunk_terms)
+            if len(chunks) == 1:
+                break
+            # one batched per-ct-LUT PBS re-splits every chunk into a
+            # column-scale digit (re-enters this column) and a carry
+            sums = []
+            for ct_list, _ in chunks:
+                s = ct_list[0]
+                for c in ct_list[1:]:
+                    s = s + c
+                sums.append(s)
+            cs = jnp.stack(sums, axis=-2)  # [..., C, n0+1]
+            cc = jnp.concatenate([cs, cs], axis=-2)
+            tvs3 = jnp.concatenate(
+                [
+                    jnp.broadcast_to(lut_dig_col, (*cs.shape[:-1], *lut_dig_col.shape)),
+                    jnp.broadcast_to(lut_car, (*cs.shape[:-1], *lut_car.shape)),
+                ],
+                axis=-3,
+            )
+            res = bootstrap_with_testvec(cc, tvs3, ck)
+            n_c = len(chunks)
+            tk = [(res[..., i, :], pmax) for i in range(n_c)]
+            terms[k + 1].extend(
+                (res[..., n_c + i, :], chunks[i][1] // base) for i in range(n_c)
+            )
+        (chunk_cts, total) = chunks[0]
+        s = chunk_cts[0]
+        for ct in chunk_cts[1:]:
+            s = s + ct
+        if k + 1 < 2 * d and total >= base:
             pair = jnp.stack([s, s], axis=-2)
             tv = jnp.broadcast_to(
                 jnp.stack([lut_dig, lut_car]), (*s.shape[:-1], 2, *lut_dig.shape)
             )
             res = bootstrap_with_testvec(pair, tv, ck)
             outs.append(res[..., 0, :])
-            carry = res[..., 1, :]
+            terms[k + 1].append((res[..., 1, :], total // base))
         else:
             outs.append(bootstrap_with_testvec(s, lut_dig, ck))
     return jnp.stack(outs, axis=-2)

@@ -41,10 +41,11 @@ def mkeys():
 
 
 def test_col_bounds_stay_under_modulus():
-    # D=4, base=4 is the documented 8-bit envelope
+    # D=4, base=4 is the no-normalization envelope
     assert max(_col_bounds(4, 4)) < 32
     assert max(_col_bounds(2, 4)) < 32
-    # D=5 would overflow — the assert in mul_radix must catch it
+    # D=8 overflows the single-chunk bound — mul_radix covers it with the
+    # greedy normalization rounds
     assert max(_col_bounds(8, 4)) >= 32
 
 
@@ -72,3 +73,19 @@ def test_mul_radix_8bit(mkeys, rng):
     assert out.shape[-2] == 8
     got = np.asarray(decrypt_radix(out, sk.lv0, base_bits=2))
     np.testing.assert_array_equal(got, xs * ys)
+
+
+def test_mul_radix_16bit(mkeys, rng):
+    """8-digit base-4 operands (16-bit x 16-bit -> 32-bit product) — wide
+    enough that the carry-save columns overflow a single modulus-32 chunk
+    (max _col_bounds(8, 4) = 49 >= 32) and the greedy normalization rounds
+    must fire."""
+    sk, ck = mkeys
+    xs = rng.integers(0, 1 << 16, 3)
+    ys = rng.integers(0, 1 << 16, 3)
+    a = encrypt_radix(jax.random.key(56), sk.lv0, xs, 8, MP, base_bits=2)
+    b = encrypt_radix(jax.random.key(57), sk.lv0, ys, 8, MP, base_bits=2)
+    out = mul_radix(a, b, ck, base_bits=2)
+    assert out.shape[-2] == 16
+    got = np.asarray(decrypt_radix(out, sk.lv0, base_bits=2))
+    np.testing.assert_array_equal(got, np.asarray(xs) * np.asarray(ys))
