@@ -34,7 +34,10 @@ class Config:
     #:                  (ops/nussbaumer.py);
     #:   "pallas"     — per-step fused kernel (ops/pallas_step.py);
     #:   "fused"      — whole-rotation kernel with the accumulator resident
-    #:                  in VMEM across all n0 steps (ops/pallas_blind_rotate).
+    #:                  in VMEM across all n0 steps (ops/pallas_blind_rotate);
+    #:   "fused_small"— commuted Hankel-operand variant for batch <= 8
+    #:                  latency (digit circulant x BSK vectors; explicit
+    #:                  opt-in until measured faster than the fb=8 tile).
     #: All alternatives are bit-exact vs the XLA path (each has shape or
     #: parameter eligibility conditions; ineligible "auto" falls back).
     step_impl: str = os.environ.get("RS_TFHE_STEP_IMPL", "auto")

@@ -109,6 +109,35 @@ def blind_rotate(
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
+    if config.step_impl == "fused_small":
+        # Commuted Hankel-operand kernel (VERDICT r2 item 4 / NOTES-PERF
+        # round-3 queue 2): at tiny batches the per-step cost is VPU-build
+        # bound, and building the circulant from the DIGITS (2L packed
+        # planes) instead of the BSK (2*2L planes) halves the build. The
+        # BSK side becomes flat contraction vectors (prepare_bsk_vecs) —
+        # computed on the fly here; promote to a CloudKey field if the
+        # prep shows up in the hardware profile. Explicit opt-in until a
+        # measured win flips the auto heuristic.
+        from .pallas_blind_rotate import (
+            fused_blind_rotate_small,
+            prepare_bsk_vecs,
+            small_eligible,
+        )
+
+        if not small_eligible(params, batch, testvec.ndim):
+            raise ValueError("small blind rotate: shape/params not eligible")
+        if not on_tpu:
+            raise ValueError("small blind rotate: Mosaic kernel requires TPU")
+        drop = params.bsk_round_bits // 8
+        return fused_blind_rotate_small(
+            b_til.astype(jnp.int32),
+            a_til.T,
+            testvec,
+            prepare_bsk_vecs(bsk, drop_limbs=drop),
+            params,
+            drop_limbs=drop,
+        )
+
     if config.step_impl in ("fused", "fused_wide", "auto"):
         from .pallas_blind_rotate import (
             eligible,

@@ -334,6 +334,184 @@ def _kernel_wide(
         out_ref[pl.ds(t0, tile), o, :] = acc[o] + uacc
 
 
+def _kernel_small(
+    tv_ref, btil_ref, atil_ref, bskvec_ref, out_ref, dig_ref, *,
+    params: TfheParams, per_ct_tv: bool = False, drop_limbs: int = 0,
+    batch: int = 1,
+):
+    """Commuted Hankel-operand kernel for tiny batches (B=1 latency): the
+    circulant is built from the DIGITS (2L planes per ciphertext, byte-
+    packed into ceil(2L/4) roll chains) instead of from the BSK (2*2L
+    packed chains in `_kernel`) — at small fb the per-step cost is VPU-
+    build-bound, so halving the build halves the step.
+
+    The digit circulant is ZERO-PADDED to 2N and contracted against the
+    negacyclically EXTENDED BSK limb vectors ([g, -g], precomputed at
+    keygen by prepare_bsk_vecs):
+
+        out[c] = sum_{k<2N} g_ext[k] * Dzp[(c - k) mod 2N],
+        Dzp = [digits, 0]
+
+    which equals the negacyclic product sum_j d_j (*) g_j exactly — the
+    usual [d, -d] extension would need -digit, and -(-half_bg) overflows
+    int8 (the BSK side dodges this by negating mod 2^32 BEFORE limb
+    splitting; digits are created signed, so the zero-pad identity is the
+    exact-preserving form). 2x nominal MACs, but the dot here is a tiny
+    fraction of the step (M = 2*(4-drop_limbs) rows).
+    """
+    n = params.n1
+    g = params.trgsw_lv1
+    j_rows = 2 * g.l
+    two_n = 2 * n
+    step = pl.program_id(0)
+    n_q = 4 - drop_limbs
+    n_words = (j_rows + 3) // 4
+
+    b_k = btil_ref[0, :, :]  # [B, 1] int32
+
+    @pl.when(step == 0)
+    def _init():
+        for poly in range(2):
+            if per_ct_tv:
+                tv = tv_ref[:, poly, :]
+            else:
+                tv = jnp.broadcast_to(tv_ref[poly, :][None, :], (batch, n))
+            out_ref[:, poly, :] = _barrel_rotate_2d(tv, b_k, n)
+
+    a_k = atil_ref[0, :, :]  # [B, 1] int32
+    acc = [out_ref[:, poly, :] for poly in range(2)]
+    diffs = [
+        _barrel_rotate_2d(acc[poly], a_k, n) - acc[poly] for poly in range(2)
+    ]
+    planes = _decompose_i8(diffs, params)  # 2L x [dl=1] x [B, N] i8
+
+    lhs = bskvec_ref[0]  # [2*n_q, 2L*2N] i8
+    for b in range(batch):
+        # byte-pack up to 4 digit planes per int32 word; zero-pad to 2N
+        for w_i in range(n_words):
+            js = range(4 * w_i, min(4 * w_i + 4, j_rows))
+            word = jnp.zeros((n,), dtype=jnp.uint32)
+            for slot, j in enumerate(js):
+                byte = jax.lax.bitcast_convert_type(
+                    planes[j][0][b, :], jnp.uint8
+                ).astype(jnp.uint32)
+                word = word | (byte << jnp.uint32(8 * slot))
+            word = jax.lax.bitcast_convert_type(word, jnp.int32)
+            word = jnp.concatenate([word, jnp.zeros((n,), jnp.int32)])
+            wch = _build_w_packed(word, 128)  # [128, 2N] i32
+            w2 = jnp.concatenate([wch, wch], axis=1)  # [128, 4N]
+            for u in range(two_n // 128):
+                blkc = jax.lax.slice(
+                    w2, (0, two_n - 128 * u), (128, two_n - 128 * u + n)
+                )  # [128, N] i32 packed
+                for slot, j in enumerate(js):
+                    dig_ref[pl.ds(j * two_n + 128 * u, 128), :] = (
+                        jax.lax.shift_right_arithmetic(
+                            jnp.left_shift(blkc, jnp.int32(24 - 8 * slot)),
+                            jnp.int32(24),
+                        ).astype(jnp.int8)
+                    )
+        res = jax.lax.dot_general(
+            lhs, dig_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [2*n_q, N]
+        for o in range(2):
+            uacc = jnp.zeros((1, n), dtype=jnp.uint32)
+            for qi in range(n_q):
+                q = drop_limbs + qi
+                shift = 8 * q
+                if shift < TORUS_BITS:
+                    row = jax.lax.slice(res, (o * n_q + qi, 0),
+                                        (o * n_q + qi + 1, n))
+                    uacc = uacc + (
+                        jax.lax.bitcast_convert_type(row, jnp.uint32)
+                        << jnp.uint32(shift)
+                    )
+            out_ref[pl.ds(b, 1), o, :] = acc[o][b:b + 1, :] + uacc
+
+
+def prepare_bsk_vecs(bsk: jax.Array, drop_limbs: int = 0) -> jax.Array:
+    """uint32 [n0, 2L, 2, N] -> int8 [n0, 2*(4-drop), 2L*2N]: the
+    negacyclically extended balanced int8 limb planes laid out as flat
+    contraction vectors for the commuted small-batch kernel. Row index is
+    o * n_q + qi with q = drop_limbs + qi."""
+    xl = split_u32_limbs(negacyclic_extend(bsk))  # [n0, 2L, 2, 2N, 4] i8
+    xl = xl[..., drop_limbs:]  # live limbs only
+    # -> [n0, 2(o), 4-drop(q), 2L, 2N]
+    xl = jnp.transpose(xl, (0, 2, 4, 1, 3))
+    n0, _, n_q, j_rows, two_n = xl.shape
+    return xl.reshape(n0, 2 * n_q, j_rows * two_n)
+
+
+def small_eligible(params: TfheParams, batch: int, testvec_ndim: int) -> bool:
+    """The commuted kernel loops the per-ciphertext build serially — only a
+    latency play. Digit planes must be single-limb (bgbit <= 8)."""
+    return (
+        params.n1 % 128 == 0
+        and params.n1 <= 4096
+        and 1 <= batch <= 8
+        and params.digit_limbs == 1
+        and testvec_ndim in (2, 3)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret", "drop_limbs")
+)
+def fused_blind_rotate_small(
+    b_til: jax.Array,
+    a_til: jax.Array,
+    testvec: jax.Array,
+    bsk_vecs: jax.Array,
+    params: TfheParams,
+    interpret: bool = False,
+    drop_limbs: int = 0,
+) -> jax.Array:
+    """Commuted Hankel-operand variant of `fused_blind_rotate` for B <= 8.
+    Takes prepare_bsk_vecs output instead of prepare_bsk_limbs."""
+    n0 = a_til.shape[0]
+    n = params.n1
+    g = params.trgsw_lv1
+    batch = b_til.shape[0]
+    per_ct_tv = testvec.ndim == 3
+    j_rows = 2 * g.l
+    n_q = 4 - drop_limbs
+
+    kernel = functools.partial(
+        _kernel_small, params=params, per_ct_tv=per_ct_tv,
+        drop_limbs=drop_limbs, batch=batch,
+    )
+    tv_spec = (
+        pl.BlockSpec((batch, 2, n), lambda st: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if per_ct_tv
+        else pl.BlockSpec((2, n), lambda st: (0, 0), memory_space=pltpu.VMEM)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n0,),
+        in_specs=[
+            tv_spec,
+            pl.BlockSpec((1, batch, 1), lambda st: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, 1), lambda st: (st, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * n_q, j_rows * 2 * n),
+                         lambda st: (st, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch, 2, n), lambda st: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 2, n), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((j_rows * 2 * n, n), jnp.int8)],
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if n > 1024
+            else None
+        ),
+        interpret=interpret,
+    )(testvec, b_til[None, :, None], a_til[:, :, None], bsk_vecs)
+
+
 def wide_scratch_bytes(params: TfheParams, drop_limbs: int = 0) -> int:
     """Persistent VMEM the wide kernel's rhs scratch needs."""
     g = params.trgsw_lv1

@@ -270,3 +270,72 @@ def test_fused_blind_rotate_wide_multilimb(rng):
         b_til, a_til, tv, packed, KP_ML, interpret=True, super_b=256
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_blind_rotate_small_matches_xla(rng):
+    """Commuted Hankel-operand kernel (B <= 8 latency path): the circulant
+    is built from the zero-padded DIGITS and contracted against the
+    negacyclically extended BSK limb vectors — bit-exact vs the XLA scan."""
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import (
+        fused_blind_rotate_small,
+        prepare_bsk_vecs,
+        small_eligible,
+    )
+
+    n0, n1 = KP.n0, KP.n1
+    bsk = jnp.asarray(
+        rng.integers(0, 1 << 32, (n0, 2 * KP.trgsw_lv1.l, 2, n1),
+                     dtype=np.uint32)
+    )
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+    vecs = prepare_bsk_vecs(bsk)
+    for batch in (1, 3):
+        ct = jnp.asarray(
+            rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32)
+        )
+        ref = np.asarray(BR.blind_rotate(ct, tv, bsk, KP))
+        b_til = ((2 * n1 - BR.modswitch(ct[:, n0], KP)) % (2 * n1)).astype(
+            jnp.int32
+        )
+        a_til = BR.modswitch(ct[:, :n0], KP).T
+        assert small_eligible(KP, batch, tv.ndim)
+        got = fused_blind_rotate_small(
+            b_til, a_til, tv, vecs, KP, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_blind_rotate_small_drop_limbs_and_per_ct_tv(rng):
+    """Small kernel with the production flavors: 24-bit rounded BSK
+    (drop_limbs=1) and per-ciphertext test vectors."""
+    import dataclasses
+
+    from rs_tfhe_tpu.key import round_bsk
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import (
+        fused_blind_rotate_small,
+        prepare_bsk_vecs,
+    )
+
+    kp = dataclasses.replace(KP, bsk_round_bits=8)
+    batch, n0, n1 = 2, kp.n0, kp.n1
+    bsk = round_bsk(
+        jnp.asarray(
+            rng.integers(0, 1 << 32, (n0, 2 * kp.trgsw_lv1.l, 2, n1),
+                         dtype=np.uint32)
+        ),
+        kp.bsk_round_bits,
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(
+        rng.integers(0, 1 << 32, (batch, 2, n1), dtype=np.uint32)
+    )
+    ref = np.asarray(BR.blind_rotate(ct, tv, bsk, kp))
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], kp)) % (2 * n1)).astype(
+        jnp.int32
+    )
+    a_til = BR.modswitch(ct[:, :n0], kp).T
+    got = fused_blind_rotate_small(
+        b_til, a_til, tv, prepare_bsk_vecs(bsk, drop_limbs=1), kp,
+        interpret=True, drop_limbs=1,
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
