@@ -35,6 +35,38 @@ from rs_tfhe_tpu.utils.serialization import load_cloud_key, save_cloud_key
 
 PASS = 0
 
+#: Production-set golden vectors (VERDICT r2 item 5, mirroring the
+#: reference's FFT vector discipline, fft/mod.rs:136-159): every run
+#: compares the fixed-seed ciphertext outputs below against
+#: tests/vectors/golden_production.npz; `--write-golden` (re)captures them.
+#: Everything here is deterministic given the jax.random seeds, so any
+#: numeric drift at SECURITY_128_BIT / UINT4 / RADIX / NIBBLE scale fails
+#: loudly with a named stage.
+GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "vectors", "golden_production.npz",
+)
+ARTIFACTS: dict[str, np.ndarray] = {}
+
+
+def record(name: str, arr) -> None:
+    ARTIFACTS[name] = np.asarray(jax.device_get(arr))
+
+
+def golden_finalize() -> None:
+    if "--write-golden" in sys.argv:
+        np.savez_compressed(GOLDEN, **ARTIFACTS)
+        print(f"wrote {GOLDEN}: {sorted(ARTIFACTS)}")
+        return
+    if not os.path.exists(GOLDEN):
+        print(f"note: {GOLDEN} absent — run with --write-golden to pin")
+        return
+    stored = np.load(GOLDEN)
+    for name in stored.files:
+        check(f"golden[{name}]",
+              name in ARTIFACTS
+              and np.array_equal(stored[name], ARTIFACTS[name]))
+
 
 def check(name: str, ok: bool) -> None:
     global PASS
@@ -70,12 +102,15 @@ def main() -> None:
     }
     for name, fn in truth.items():
         out = gates.batch_gate(name, a, b, ck)
+        if name == "nand":
+            record("nand_128", out)
         dec = np.asarray(jax.device_get(tlwe.lwe_decrypt_bool(out, sk.lv0)))
         check(f"gate {name}", (dec == fn(a_bits, b_bits)).all())
 
     c_bits = rng.integers(0, 2, 64).astype(bool)
     c = tlwe.lwe_encrypt_bool(kc, sk.lv0, jnp.asarray(c_bits), alpha)
     out = gates.mux(a, b, c, ck)
+    record("mux_128", out)
     dec = np.asarray(jax.device_get(tlwe.lwe_decrypt_bool(out, sk.lv0)))
     check("mux", (dec == np.where(a_bits, b_bits, c_bits)).all())
     dec = np.asarray(jax.device_get(tlwe.lwe_decrypt_bool(gates.not_(a), sk.lv0)))
@@ -86,6 +121,7 @@ def main() -> None:
     msgs = jnp.asarray(np.arange(m))
     ct = tlwe.lwe_encrypt_message(jax.random.key(5), sk.lv0, msgs, m, alpha)
     sq = LutBootstrap().bootstrap_func(ct, lambda x: (x * x) % m, m, ck)
+    record("pbs_square_128", sq)
     check("lut square mod 8",
           list(tlwe.lwe_decrypt_message(sq, sk.lv0, m)) == [(x * x) % m for x in range(m)])
 
@@ -93,6 +129,7 @@ def main() -> None:
     ra = models.encrypt_radix(jax.random.key(6), sk.lv0, 137, 3, p, 3)
     rb = models.encrypt_radix(jax.random.key(7), sk.lv0, 205, 3, p, 3)
     rsum = models.add_radix(ra, rb, ck, 3)
+    record("radix_add_128", rsum)
     check("radix 9-bit add (5 PBS)",
           int(models.decrypt_radix(rsum, sk.lv0, 3)) == (137 + 205) % 512)
 
@@ -101,6 +138,7 @@ def main() -> None:
     ea = encrypt_uint(jax.random.key(8), sk.lv0, x, 16, alpha)
     eb = encrypt_uint(jax.random.key(9), sk.lv0, y, 16, alpha)
     es = models.add_kogge_stone(ea, eb, ck)
+    record("kogge_stone_128", es)
     check("kogge-stone 16-bit add", decrypt_uint(es, sk.lv0) == (x + y) % 65536)
 
     # -- proxy re-encryption (asymmetric) ------------------------------------
@@ -131,6 +169,7 @@ def main() -> None:
     ct4 = tlwe.lwe_encrypt_message(jax.random.key(22), sk4.lv0, msgs, m16,
                                    p4.tlwe_lv0.alpha)
     out4 = LutBootstrap().bootstrap_func(ct4, lambda x: (x * 3 + 1) % m16, m16, ck4)
+    record("pbs_uint4", out4)
     check("UINT4 PBS, 3-limb digits (3x+1 mod 16)",
           list(tlwe.lwe_decrypt_message(out4, sk4.lv0, m16))
           == [(x * 3 + 1) % m16 for x in range(m16)])
@@ -169,6 +208,7 @@ def main() -> None:
     na = models.encrypt_radix(jax.random.key(38), skn.lv0, xs, 2, pn, base_bits=4)
     nb = models.encrypt_radix(jax.random.key(39), skn.lv0, ys, 2, pn, base_bits=4)
     nsum = models.add_radix(na, nb, ckn, base_bits=4)  # 3 PBS per add
+    record("nibble_add", nsum)
     dec = np.asarray(models.decrypt_radix(nsum, skn.lv0, base_bits=4))
     check(
         "NIBBLE 8-bit add in 3 PBS, 6.5-sigma certified (256 trials, 768 PBS)",
@@ -203,11 +243,14 @@ def main() -> None:
     ma = models.encrypt_radix(jax.random.key(40), skn.lv0, xs8, 4, pn, base_bits=2)
     mb = models.encrypt_radix(jax.random.key(41), skn.lv0, ys8, 4, pn, base_bits=2)
     mprod = models.mul_radix(ma, mb, ckn, base_bits=2)
+    record("mul_radix_nibble", mprod)
     mdec = np.asarray(models.decrypt_radix(mprod, skn.lv0, base_bits=2))
     check(
         "NIBBLE 8-bit x 8-bit ciphertext multiply (32 trials, 56 PBS each)",
         (mdec == xs8 * ys8).all(),
     )
+
+    golden_finalize()
 
     print(f"\nALL {PASS} CHECKS PASSED "
           f"({time.perf_counter() - t0:.0f}s total)")
