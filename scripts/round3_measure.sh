@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-3 measurement battery — run when the TPU tunnel is back.
+# Each stage is independently timeout-guarded and logs to /tmp/r3_*.log;
+# artifacts land at the repo root. Order: cheap/cache-warming first, the
+# 25-minute soak last. Every stage is kill-safe (direct child PIDs only).
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax
+
+run() { # name timeout_s cmd...
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name ($(date +%T)) ==="
+  timeout "$tmo" "$@" >"/tmp/r3_${name}.log" 2>&1
+  local rc=$?
+  tail -3 "/tmp/r3_${name}.log" | sed 's/^/    /'
+  echo "--- $name: rc=$rc"
+}
+
+# 1. headline bench: FAST + strict SECURITY_128_BIT, warms the driver cache
+run bench 3000 python bench.py
+
+# 2. production golden vectors (also full-stack validation, ~5 min warm)
+run golden 3000 python scripts/tpu_validation.py --write-golden
+
+# 3. per-op suite refresh (UINT4 now rides the wide kernel; keygen_warm)
+run suite 3600 python scripts/bench_suite.py
+
+# 4. small-kernel A/B at B=1..8 (fused_small vs auto) — flips the heuristic
+run smallab 1200 python scripts/bench_small_kernel.py
+
+# 5. Mosaic capability probe (s16 dots / int8 rolls — Nussbaumer-in-VMEM gate)
+run mosaic 600 python scripts/probe_mosaic.py
+
+# 6. reliability soak (~25 min) — writes SOAK_r03.json
+run soak 3000 python scripts/soak.py
+
+echo "ALL STAGES DONE $(date +%T)"
