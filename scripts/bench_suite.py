@@ -267,6 +267,23 @@ def main():
                     ckb, iters=1)
         record("nibble_add8_3pbs_b64_NIBBLE", dt * 1e3 / 64, "ms/add")
 
+        # 16-bit x 16-bit ciphertext multiply (beyond the reference, which
+        # has no ct x ct multiply at all; the carry-save normalization
+        # stage lifts the old 8-bit operand cap — models/arithmetic.py)
+        from rs_tfhe_tpu.models.arithmetic import decrypt_radix, mul_radix
+
+        xs16 = rng.integers(0, 1 << 16, 16)
+        ys16 = rng.integers(0, 1 << 16, 16)
+        wa = encrypt_radix(jax.random.key(54), skb.lv0, xs16, 8, pb, base_bits=2)
+        wb = encrypt_radix(jax.random.key(55), skb.lv0, ys16, 8, pb, base_bits=2)
+        prod = mul_radix(wa, wb, ckb, base_bits=2)
+        got = np.asarray(decrypt_radix(prod, skb.lv0, base_bits=2))
+        assert (got == (xs16 * ys16) & 0xFFFF).all() or (
+            got == xs16 * ys16).all(), "mul16 correctness"
+        dt = timeit(lambda x, y, k: mul_radix(x, y, k, base_bits=2), wa, wb,
+                    ckb, iters=1)
+        record("mul16x16_b16_NIBBLE", dt * 1e3 / 16, "ms/mul")
+
     out = {
         "device": str(dev),
         "params": pname,
