@@ -386,8 +386,11 @@ def _kernel_small(
     planes = _decompose_i8(diffs, params)  # 2L x [dl=1] x [B, N] i8
 
     lhs = bskvec_ref[0]  # [2*n_q, 2L*2N] i8
+    # byte-pack up to 4 digit planes per int32 word and zero-pad to 2N,
+    # for EVERY (ciphertext, word) at once — one joint roll chain
+    # (log2(128) large VPU ops) instead of batch*n_words small chains
+    words = []
     for b in range(batch):
-        # byte-pack up to 4 digit planes per int32 word; zero-pad to 2N
         for w_i in range(n_words):
             js = range(4 * w_i, min(4 * w_i + 4, j_rows))
             word = jnp.zeros((n,), dtype=jnp.uint32)
@@ -396,9 +399,17 @@ def _kernel_small(
                     planes[j][0][b, :], jnp.uint8
                 ).astype(jnp.uint32)
                 word = word | (byte << jnp.uint32(8 * slot))
-            word = jax.lax.bitcast_convert_type(word, jnp.int32)
-            word = jnp.concatenate([word, jnp.zeros((n,), jnp.int32)])
-            wch = _build_w_packed(word, 128)  # [128, 2N] i32
+            words.append(jnp.concatenate([
+                jax.lax.bitcast_convert_type(word, jnp.int32),
+                jnp.zeros((n,), jnp.int32),
+            ]))
+    wch_all = _build_w_packed_all(jnp.stack(words), 128)
+    # [batch*n_words, 128, 2N] i32
+
+    for b in range(batch):
+        for w_i in range(n_words):
+            js = range(4 * w_i, min(4 * w_i + 4, j_rows))
+            wch = wch_all[b * n_words + w_i]  # [128, 2N] i32
             w2 = jnp.concatenate([wch, wch], axis=1)  # [128, 4N]
             for u in range(two_n // 128):
                 blkc = jax.lax.slice(
