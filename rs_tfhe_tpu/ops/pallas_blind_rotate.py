@@ -558,7 +558,8 @@ def select_super(params: TfheParams, batch: int, drop_limbs: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("params", "interpret", "drop_limbs", "super_b")
+    jax.jit,
+    static_argnames=("params", "interpret", "drop_limbs", "super_b", "tile"),
 )
 def fused_blind_rotate_wide(
     b_til: jax.Array,
@@ -569,23 +570,27 @@ def fused_blind_rotate_wide(
     interpret: bool = False,
     drop_limbs: int = 0,
     super_b: int | None = None,
+    tile: int = _FB,
 ) -> jax.Array:
     """Step-major whole-batch-resident variant of `fused_blind_rotate` —
     same contract (see it for argument shapes), restricted to batches that
-    are multiples of 128 with `wide_eligible` parameter shapes."""
+    are multiples of 128 with `wide_eligible` parameter shapes. `tile` is
+    the per-program row count (the dots' M dimension) — a hardware tunable;
+    128 is the measured default, 256 doubles MXU fill per dot at 2x the
+    resident acc working set."""
     n0 = a_til.shape[0]
     n = params.n1
     g = params.trgsw_lv1
     batch = b_til.shape[0]
     sb = super_b or select_super(params, batch, drop_limbs)
-    assert batch % sb == 0 and sb % _FB == 0
+    assert batch % sb == 0 and sb % tile == 0
     per_ct_tv = testvec.ndim == 3
     j_rows = 2 * g.l
     n_q = 4 - drop_limbs
 
     kernel = functools.partial(
         _kernel_wide, params=params, per_ct_tv=per_ct_tv,
-        drop_limbs=drop_limbs, tile=_FB,
+        drop_limbs=drop_limbs, tile=tile,
     )
     tv_spec = (
         pl.BlockSpec((sb, 2, n), lambda bs, st, ft: (bs, 0, 0),
@@ -596,7 +601,7 @@ def fused_blind_rotate_wide(
     )
     return pl.pallas_call(
         kernel,
-        grid=(batch // sb, n0, sb // _FB),
+        grid=(batch // sb, n0, sb // tile),
         in_specs=[
             tv_spec,
             pl.BlockSpec((1, sb, 1), lambda bs, st, ft: (0, bs, 0),

@@ -339,3 +339,27 @@ def test_fused_blind_rotate_small_drop_limbs_and_per_ct_tv(rng):
         interpret=True, drop_limbs=1,
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_blind_rotate_wide_tile_256(rng):
+    """tile is a pure performance knob: tile=256 must match tile=128."""
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import fused_blind_rotate_wide
+
+    batch, n0, n1 = 256, KP.n0, KP.n1
+    bsk = jnp.asarray(
+        rng.integers(0, 1 << 32, (n0, 2 * KP.trgsw_lv1.l, 2, n1),
+                     dtype=np.uint32)
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], KP)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], KP).T
+    packed = prepare_bsk_limbs(bsk)
+    ref = np.asarray(
+        fused_blind_rotate_wide(b_til, a_til, tv, packed, KP, interpret=True,
+                                super_b=256)
+    )
+    got = fused_blind_rotate_wide(
+        b_til, a_til, tv, packed, KP, interpret=True, super_b=256, tile=256
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
