@@ -22,6 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 from rs_tfhe_tpu.params import ALL_SECURITY_SETS  # noqa: E402
 from rs_tfhe_tpu.ops.pallas_blind_rotate import (  # noqa: E402
     fused_blind_rotate,
+    fused_blind_rotate_wide,
     prepare_bsk_limbs,
 )
 
@@ -47,14 +48,26 @@ def main():
 
     drop = int(os.environ.get("RS_TFHE_DROP_LIMBS", "0"))
     fb = int(os.environ.get("RS_TFHE_FB", "128"))
+    # RS_TFHE_WIDE=1 benches the step-major kernel; RS_TFHE_TILE sweeps its
+    # per-program row count (the dots' M dim), RS_TFHE_SUPER its super-batch
+    wide = os.environ.get("RS_TFHE_WIDE", "0") == "1"
+    tile = int(os.environ.get("RS_TFHE_TILE", "128"))
+    super_b = os.environ.get("RS_TFHE_SUPER")
+    super_b = int(super_b) if super_b else None
 
     @jax.jit
     def chained(tv, b, a, pk):
         acc = None
         for _ in range(iters):
-            acc = fused_blind_rotate(
-                b, a, tv, pk, params, drop_limbs=drop, fb=fb
-            )
+            if wide:
+                acc = fused_blind_rotate_wide(
+                    b, a, tv, pk, params, drop_limbs=drop,
+                    super_b=super_b, tile=tile,
+                )
+            else:
+                acc = fused_blind_rotate(
+                    b, a, tv, pk, params, drop_limbs=drop, fb=fb
+                )
             tv = acc[0] ^ jnp.uint32(1)  # feed real data forward
         return acc
 
