@@ -59,16 +59,21 @@ class CloudKey:
     #: round 2: ~35 GB at SECURITY_128_BIT cannot exist on 16 GB chips, and
     #: in-VMEM expansion measured faster anyway.)
     bsk_packed: Optional[jax.Array] = None  # int32 [n0, 2, 2L, 2N]
+    #: negacyclically extended BSK limb vectors for the commuted small-batch
+    #: kernel (ops/pallas_blind_rotate.prepare_bsk_vecs); derived, not
+    #: serialized; None for multi-limb/odd-shape sets the kernel rejects.
+    bsk_vecs: Optional[jax.Array] = None  # int8 [n0, 2*(4-drop), 2L*2N]
 
     @staticmethod
     def generate(key: jax.Array, sk: SecretKey) -> "CloudKey":
-        ksk_limbs, bsk, packed = _generate_jit(key, sk)
+        ksk_limbs, bsk, packed, vecs = _generate_jit(key, sk)
         return CloudKey(
             testvec=gen_testvec(sk.params),
             ksk_limbs=ksk_limbs,
             bsk=bsk,
             params=sk.params,
             bsk_packed=packed,
+            bsk_vecs=vecs,
         )
 
     @staticmethod
@@ -92,12 +97,21 @@ def _generate_jit(key: jax.Array, sk: SecretKey):
     """KSK + BSK + packed-BSK generation fused into ONE jitted program —
     one device dispatch instead of three, halving warm keygen latency
     (sk's params ride along as static pytree metadata)."""
-    from .ops.pallas_blind_rotate import prepare_bsk_limbs
+    from .ops.pallas_blind_rotate import (
+        prepare_bsk_limbs,
+        prepare_bsk_vecs,
+        small_param_ok,
+    )
 
     k_ksk, k_bsk = jax.random.split(key)
     ksk_limbs = gen_key_switching_key(k_ksk, sk)
     bsk = gen_bootstrapping_key(k_bsk, sk)
-    return ksk_limbs, bsk, prepare_bsk_limbs(bsk)
+    vecs = (
+        prepare_bsk_vecs(bsk, drop_limbs=sk.params.bsk_round_bits // 8)
+        if small_param_ok(sk.params)
+        else None
+    )
+    return ksk_limbs, bsk, prepare_bsk_limbs(bsk), vecs
 
 
 def gen_testvec(params: TfheParams) -> jax.Array:

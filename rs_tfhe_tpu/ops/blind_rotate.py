@@ -89,6 +89,7 @@ def blind_rotate(
     bsk: jax.Array,
     params: TfheParams,
     bsk_packed=None,
+    bsk_vecs=None,
 ) -> jax.Array:
     """Blind-rotate a batch of lv0 LWE ciphertexts.
 
@@ -96,6 +97,8 @@ def blind_rotate(
     testvec: uint32 [2, N] (shared) or [B, 2, N] (per-ciphertext LUTs)
     bsk_packed: optional int32 [n0, 2, 2L, 2N] byte-packed limb form for the
              fused kernel (CloudKey precomputes it; packed on the fly if None)
+    bsk_vecs: optional int8 [n0, 2*(4-drop), 2L*2N] extended limb vectors for
+             the small-batch kernel (CloudKey precomputes when eligible)
     bsk:     uint32 [n0, 2L, 2, N] (TRGSW coefficient polys)
     Returns the accumulator TRLWE batch, uint32 [B, 2, N].
     """
@@ -114,10 +117,9 @@ def blind_rotate(
         # round-3 queue 2): at tiny batches the per-step cost is VPU-build
         # bound, and building the circulant from the DIGITS (2L packed
         # planes) instead of the BSK (2*2L planes) halves the build. The
-        # BSK side becomes flat contraction vectors (prepare_bsk_vecs) —
-        # computed on the fly here; promote to a CloudKey field if the
-        # prep shows up in the hardware profile. Explicit opt-in until a
-        # measured win flips the auto heuristic.
+        # BSK side is flat contraction vectors — CloudKey precomputes them
+        # (bsk_vecs); built on the fly only for raw-bsk callers. Explicit
+        # opt-in until a measured win flips the auto heuristic.
         from .pallas_blind_rotate import (
             fused_blind_rotate_small,
             prepare_bsk_vecs,
@@ -129,11 +131,13 @@ def blind_rotate(
         if not on_tpu:
             raise ValueError("small blind rotate: Mosaic kernel requires TPU")
         drop = params.bsk_round_bits // 8
+        if bsk_vecs is None:
+            bsk_vecs = prepare_bsk_vecs(bsk, drop_limbs=drop)
         return fused_blind_rotate_small(
             b_til.astype(jnp.int32),
             a_til.T,
             testvec,
-            prepare_bsk_vecs(bsk, drop_limbs=drop),
+            bsk_vecs,
             params,
             drop_limbs=drop,
         )

@@ -454,14 +454,22 @@ def prepare_bsk_vecs(bsk: jax.Array, drop_limbs: int = 0) -> jax.Array:
     return xl.reshape(n0, 2 * n_q, j_rows * two_n)
 
 
+def small_param_ok(params: TfheParams) -> bool:
+    """Parameter-set (batch-independent) half of `small_eligible` — gates
+    whether CloudKey.generate precomputes `bsk_vecs` for the set."""
+    return (
+        params.n1 % 128 == 0
+        and params.n1 <= 4096
+        and params.digit_limbs == 1
+    )
+
+
 def small_eligible(params: TfheParams, batch: int, testvec_ndim: int) -> bool:
     """The commuted kernel loops the per-ciphertext build serially — only a
     latency play. Digit planes must be single-limb (bgbit <= 8)."""
     return (
-        params.n1 % 128 == 0
-        and params.n1 <= 4096
+        small_param_ok(params)
         and 1 <= batch <= 8
-        and params.digit_limbs == 1
         and testvec_ndim in (2, 3)
     )
 

@@ -58,8 +58,8 @@ def load_secret_key(path) -> SecretKey:
 
 
 def save_cloud_key(path, ck: CloudKey) -> None:
-    """~100 MB compressed at SECURITY_128_BIT. bsk_packed is never stored —
-    it is derived (prepare_bsk_limbs) and rebuilt at load."""
+    """~100 MB compressed at SECURITY_128_BIT. bsk_packed/bsk_vecs are never
+    stored — both are derived from bsk and rebuilt at load."""
     np.savez_compressed(
         path,
         version=_FORMAT_VERSION,
@@ -76,7 +76,11 @@ def load_cloud_key(path) -> CloudKey:
         _check(z, "cloud")
         params = params_from_dict(json.loads(str(z["params"])))
         bsk = jnp.asarray(z["bsk"])
-        from ..ops.pallas_blind_rotate import prepare_bsk_limbs
+        from ..ops.pallas_blind_rotate import (
+            prepare_bsk_limbs,
+            prepare_bsk_vecs,
+            small_param_ok,
+        )
 
         return CloudKey(
             testvec=jnp.asarray(z["testvec"]),
@@ -84,6 +88,11 @@ def load_cloud_key(path) -> CloudKey:
             bsk=bsk,
             params=params,
             bsk_packed=prepare_bsk_limbs(bsk),
+            bsk_vecs=(
+                prepare_bsk_vecs(bsk, drop_limbs=params.bsk_round_bits // 8)
+                if small_param_ok(params)
+                else None
+            ),
         )
 
 

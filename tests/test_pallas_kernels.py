@@ -363,3 +363,17 @@ def test_fused_blind_rotate_wide_tile_256(rng):
         b_til, a_til, tv, packed, KP, interpret=True, super_b=256, tile=256
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_cloudkey_precomputes_bsk_vecs():
+    """CloudKey.generate populates bsk_vecs for small-kernel-eligible sets
+    and it matches a fresh prepare_bsk_vecs of the same BSK."""
+    from rs_tfhe_tpu.key import CloudKey, SecretKey
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import prepare_bsk_vecs
+
+    sk = SecretKey.generate(jax.random.key(11), KP)
+    ck = CloudKey.generate(jax.random.key(12), sk)
+    assert ck.bsk_vecs is not None
+    np.testing.assert_array_equal(
+        np.asarray(ck.bsk_vecs), np.asarray(prepare_bsk_vecs(ck.bsk))
+    )
