@@ -23,6 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Every stage is bit-exact integer math, so --cpu runs the identical
+# pipeline on the CPU backend; golden vectors captured there MUST verify
+# on TPU (and vice versa) — a cross-backend drift check for free.
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
