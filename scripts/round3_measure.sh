@@ -31,7 +31,11 @@ run smallab 1200 python scripts/bench_small_kernel.py
 # 5. Mosaic capability probe (s16 dots / int8 rolls — Nussbaumer-in-VMEM gate)
 run mosaic 600 python scripts/probe_mosaic.py
 
-# 6. reliability soak (~25 min) — writes SOAK_r03.json
-run soak 3000 python scripts/soak.py
+# 6. cold-keygen diagnosis (VERDICT r2 weak #1): fused vs split, fresh cache
+run keygen_fused 1200 python scripts/diag_keygen.py fused
+run keygen_split 1200 python scripts/diag_keygen.py split
+
+# 7. reliability soak (~25 min) — writes SOAK_r03.json incrementally
+run soak 3900 python scripts/soak.py
 
 echo "ALL STAGES DONE $(date +%T)"

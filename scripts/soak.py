@@ -153,13 +153,18 @@ def main() -> None:
     target_gates = int(float(os.environ.get("RS_TFHE_SOAK_GATES", "1e7")))
     target_adds = int(float(os.environ.get("RS_TFHE_SOAK_ADDS", "1e4")))
     print(f"device: {jax.devices()[0]}")
+    # write after each phase so a timeout kill keeps the finished phase
+    artifact: dict = {"ts": time.time()}
     print(f"soaking {target_gates:.0e} FAST gates ...", flush=True)
     fast = soak_fast(target_gates)
     print(json.dumps(fast))
+    artifact["fast"] = fast
+    with open(OUT, "w") as f:
+        json.dump(artifact, f, indent=1)
     print(f"soaking {target_adds} NIBBLE adds ...", flush=True)
     nib = soak_nibble(target_adds)
     print(json.dumps(nib))
-    artifact = {"ts": time.time(), "fast": fast, "nibble": nib}
+    artifact["nibble"] = nib
     with open(OUT, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"wrote {OUT}")
