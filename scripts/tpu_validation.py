@@ -68,7 +68,14 @@ def golden_finalize() -> None:
         print(f"note: {GOLDEN} absent — run with --write-golden to pin")
         return
     stored = np.load(GOLDEN)
-    for name in stored.files:
+    # --small runs only the N <= 1024 stages (CPU-feasible): compare just
+    # the stages that ran; the full run still demands every stored vector
+    names = (
+        [n for n in stored.files if n in ARTIFACTS]
+        if "--small" in sys.argv
+        else stored.files
+    )
+    for name in names:
         check(f"golden[{name}]",
               name in ARTIFACTS
               and np.array_equal(stored[name], ARTIFACTS[name]))
@@ -179,6 +186,14 @@ def main() -> None:
     check("UINT4 PBS, 3-limb digits (3x+1 mod 16)",
           list(tlwe.lwe_decrypt_message(out4, sk4.lv0, m16))
           == [(x * 3 + 1) % m16 for x in range(m16)])
+
+    if "--small" in sys.argv:
+        # N <= 1024 subset: CPU-feasible cross-backend check of the golden
+        # vectors captured on TPU (bit-exact integer math => must match)
+        golden_finalize()
+        print(f"\nALL {PASS} CHECKS PASSED (--small subset, "
+              f"{time.perf_counter() - t0:.0f}s total)")
+        return
 
     # -- SECURITY_128_BIT_RADIX: fast radix arithmetic ----------------------
     # Certified margin at base-8 (7.3 sigma, p ~ 2e-13 — lut_margin with
