@@ -25,8 +25,12 @@ run golden 3000 python scripts/tpu_validation.py --write-golden
 # 3. per-op suite refresh (UINT4 now rides the wide kernel; keygen_warm)
 run suite 3600 python scripts/bench_suite.py
 
-# 4. small-kernel A/B at B=1..8 (fused_small vs auto) — flips the heuristic
+# 4. small-kernel A/B at B=1..8 (fused_small vs auto) — flips the heuristic.
+#    Also at strict SECURITY_128_BIT: its 2L=6 digit planes make the
+#    commuted (digit-circulant) build cheapest exactly where the
+#    apples-to-apples latency row needs it.
 run smallab 1200 python scripts/bench_small_kernel.py
+run smallab_strict 1200 env RS_TFHE_BENCH_PARAMS=SECURITY_128_BIT python scripts/bench_small_kernel.py
 
 # 5. Mosaic capability probe (s16 dots / int8 rolls — Nussbaumer-in-VMEM gate)
 run mosaic 600 python scripts/probe_mosaic.py
