@@ -1,0 +1,374 @@
+"""High-level typed FHE API: encrypted booleans and integers with Python
+operator overloading.
+
+The reference exposes raw ciphertexts + free functions (gates.rs, bit_utils.rs
+— e.g. examples/add_two_numbers.rs wires a 16-bit adder gate by gate). This
+module is the ergonomic layer a production user expects on top of the same
+machinery: `FheBool`, `FheUint` (bit-level, boolean circuits) and
+`FheUintRadix` (digit-level, programmable-bootstrap arithmetic) wrap the
+batch-first ciphertext arrays so `x * y + 3` is valid encrypted code.
+
+All types are batch-first like everything else in the framework: encrypting a
+numpy array of values yields one object whose operators run every element (and
+every bit/digit position) through single batched bootstraps on the MXU.
+
+Plaintext operands (Python ints/bools, numpy arrays) are coerced to trivial
+(noiseless, maskless) ciphertexts, so mixed expressions like `a & True` or
+`x + 7` work; the result is still a real ciphertext.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import gates
+from .key import CloudKey
+from .models import arithmetic, circuits
+from .tlwe import lwe_decrypt_bool, lwe_encrypt_bool
+from .torus import TORUS_DTYPE, f64_to_torus
+
+
+def _trivial_bool(values, n: int) -> jax.Array:
+    """Noiseless maskless ciphertexts of boolean plaintexts: body = ±1/8,
+    mask = 0 (decrypts under any key; the gate linear forms treat it exactly
+    like a fresh encryption)."""
+    values = jnp.asarray(values, dtype=bool)
+    mu = jnp.uint32(int(f64_to_torus(0.125)))
+    body = jnp.where(values, mu, jnp.uint32(0) - mu)
+    ct = jnp.zeros((*values.shape, n + 1), dtype=TORUS_DTYPE)
+    return ct.at[..., -1].set(body)
+
+
+def _trivial_message(values, message_modulus: int, n: int) -> jax.Array:
+    """Noiseless ciphertexts under the msg/(2*modulus) PBS encoding."""
+    values = jnp.mod(jnp.asarray(values), message_modulus)
+    scale = np.uint32(f64_to_torus(1.0 / (2.0 * message_modulus)))
+    ct = jnp.zeros((*values.shape, n + 1), dtype=TORUS_DTYPE)
+    return ct.at[..., -1].set(values.astype(TORUS_DTYPE) * scale)
+
+
+def _bits_of(vals, width: int) -> np.ndarray:
+    """LSB-first bit planes of an integer array: [..., width] bool."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    return np.stack([(vals >> i) & 1 for i in range(width)], axis=-1).astype(bool)
+
+
+class FheBool:
+    """A (batch of) encrypted boolean(s): uint32 [..., n0+1] + the cloud key.
+
+    `&`, `|`, `^`, `~` are single batched gate bootstraps; `select` is the
+    bootstrapped MUX. Plain bools/arrays on either side are coerced to
+    trivial ciphertexts.
+    """
+
+    __slots__ = ("ct", "ck")
+
+    def __init__(self, ct: jax.Array, ck: CloudKey):
+        self.ct = ct
+        self.ck = ck
+
+    # -- client side ------------------------------------------------------
+    @classmethod
+    def encrypt(cls, key: jax.Array, sk_lv0: jax.Array, values, ck: CloudKey):
+        """Encrypt a bool or array of bools under the lv0 secret key."""
+        ct = lwe_encrypt_bool(
+            key, sk_lv0, jnp.asarray(values, dtype=bool), ck.params.tlwe_lv0.alpha
+        )
+        return cls(ct, ck)
+
+    @classmethod
+    def trivial(cls, values, ck: CloudKey):
+        """Wrap plaintext bools as noiseless ciphertexts (server-side)."""
+        return cls(_trivial_bool(values, ck.params.tlwe_lv0.n), ck)
+
+    def decrypt(self, sk_lv0: jax.Array) -> np.ndarray:
+        return np.asarray(jax.device_get(lwe_decrypt_bool(self.ct, sk_lv0)))
+
+    # -- server side ------------------------------------------------------
+    def _coerce(self, other) -> "FheBool":
+        if isinstance(other, FheBool):
+            return other
+        return FheBool.trivial(jnp.broadcast_to(jnp.asarray(other, dtype=bool),
+                                                self.ct.shape[:-1]), self.ck)
+
+    def __and__(self, other):
+        o = self._coerce(other)
+        return FheBool(gates.and_(self.ct, o.ct, self.ck), self.ck)
+
+    def __or__(self, other):
+        o = self._coerce(other)
+        return FheBool(gates.or_(self.ct, o.ct, self.ck), self.ck)
+
+    def __xor__(self, other):
+        o = self._coerce(other)
+        return FheBool(gates.xor(self.ct, o.ct, self.ck), self.ck)
+
+    __rand__ = __and__
+    __ror__ = __or__
+    __rxor__ = __xor__
+
+    def __invert__(self):
+        return FheBool(gates.not_(self.ct), self.ck)
+
+    def select(self, if_true: "FheUint | FheBool", if_false: "FheUint | FheBool"):
+        """Bootstrapped MUX: self ? if_true : if_false (element-wise).
+
+        Works on FheBool and FheUint branches (the selector broadcasts over
+        the bit axis for FheUint).
+        """
+        if isinstance(if_true, FheUint):
+            sel = jnp.broadcast_to(self.ct[..., None, :], if_true.bits.shape)
+            return FheUint(
+                gates.mux(sel, if_true.bits, if_false.bits, self.ck), self.ck
+            )
+        t, f = self._coerce(if_true), self._coerce(if_false)
+        return FheBool(gates.mux(self.ct, t.ct, f.ct, self.ck), self.ck)
+
+    __hash__ = None  # __eq__-style comparisons live on FheUint
+
+    def __repr__(self):
+        return f"FheBool(batch={self.ct.shape[:-1]})"
+
+
+class FheUint:
+    """A (batch of) encrypted W-bit unsigned integer(s) as bit batches
+    uint32 [..., W, n0+1], LSB first (bit_utils.py layout).
+
+    Arithmetic runs the batched boolean circuits in `models.circuits`:
+    `+`/`-` are Kogge-Stone (O(log W) batched gate rounds), `*` is schoolbook
+    shift-add (W partial-product rounds + W-1 Kogge-Stone adds), comparisons
+    return `FheBool`. Shifts by plaintext amounts are free (row moves).
+    All results are mod 2^W.
+    """
+
+    __slots__ = ("bits", "ck")
+
+    def __init__(self, bits: jax.Array, ck: CloudKey):
+        self.bits = bits
+        self.ck = ck
+
+    @property
+    def width(self) -> int:
+        return self.bits.shape[-2]
+
+    # -- client side ------------------------------------------------------
+    @classmethod
+    def encrypt(cls, key, sk_lv0, values, width: int, ck: CloudKey):
+        """Encrypt an int or integer array as width-bit encrypted uints."""
+        bits = jnp.asarray(_bits_of(values, width))
+        ct = lwe_encrypt_bool(key, sk_lv0, bits, ck.params.tlwe_lv0.alpha)
+        return cls(ct, ck)
+
+    @classmethod
+    def trivial(cls, values, width: int, ck: CloudKey):
+        bits = _bits_of(values, width)
+        return cls(_trivial_bool(bits, ck.params.tlwe_lv0.n), ck)
+
+    def decrypt(self, sk_lv0: jax.Array) -> np.ndarray:
+        bits = np.asarray(jax.device_get(lwe_decrypt_bool(self.bits, sk_lv0)))
+        vals = np.zeros(bits.shape[:-1], dtype=np.uint64)
+        for i in range(bits.shape[-1]):
+            vals |= bits[..., i].astype(np.uint64) << i
+        return vals
+
+    # -- server side ------------------------------------------------------
+    def _coerce(self, other) -> "FheUint":
+        if isinstance(other, FheUint):
+            if other.width != self.width:
+                raise ValueError(f"width mismatch: {self.width} vs {other.width}")
+            return other
+        vals = jnp.broadcast_to(jnp.asarray(other), self.bits.shape[:-2])
+        return FheUint.trivial(np.asarray(vals), self.width, self.ck)
+
+    def __add__(self, other):
+        o = self._coerce(other)
+        return FheUint(circuits.add_kogge_stone(self.bits, o.bits, self.ck), self.ck)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        o = self._coerce(other)
+        return FheUint(circuits.sub(self.bits, o.bits, self.ck), self.ck)
+
+    def __rsub__(self, other):
+        return self._coerce(other).__sub__(self)
+
+    def __mul__(self, other):
+        """Schoolbook multiply mod 2^W: partial product i = (self << i) AND
+        b_i, accumulated with Kogge-Stone adds. W batched AND rounds plus
+        W-1 adds of 2+2*ceil(log2 W) batched gate rounds each."""
+        o = self._coerce(other)
+        w = self.width
+        false_ct = gates.constant(False, 1, self.ck.params)[0]
+        acc = None
+        for i in range(w):
+            bi = o.bits[..., i : i + 1, :]
+            shifted = circuits._shift_up(self.bits, i, false_ct) if i else self.bits
+            partial = gates.and_(
+                shifted, jnp.broadcast_to(bi, shifted.shape), self.ck
+            )
+            acc = (
+                partial
+                if acc is None
+                else circuits.add_kogge_stone(acc, partial, self.ck)
+            )
+        return FheUint(acc, self.ck)
+
+    __rmul__ = __mul__
+
+    # bitwise — one batched gate each
+    def __and__(self, other):
+        o = self._coerce(other)
+        return FheUint(gates.and_(self.bits, o.bits, self.ck), self.ck)
+
+    def __or__(self, other):
+        o = self._coerce(other)
+        return FheUint(gates.or_(self.bits, o.bits, self.ck), self.ck)
+
+    def __xor__(self, other):
+        o = self._coerce(other)
+        return FheUint(gates.xor(self.bits, o.bits, self.ck), self.ck)
+
+    __rand__ = __and__
+    __ror__ = __or__
+    __rxor__ = __xor__
+
+    def __invert__(self):
+        return FheUint(gates.not_(self.bits), self.ck)
+
+    # plaintext-amount shifts are free row moves (mod 2^W)
+    def __lshift__(self, k: int):
+        false_ct = gates.constant(False, 1, self.ck.params)[0]
+        return FheUint(circuits._shift_up(self.bits, k, false_ct), self.ck)
+
+    def __rshift__(self, k: int):
+        false_ct = gates.constant(False, 1, self.ck.params)[0]
+        pad = jnp.broadcast_to(false_ct, (*self.bits.shape[:-2], k, self.bits.shape[-1]))
+        return FheUint(jnp.concatenate([self.bits[..., k:, :], pad], axis=-2), self.ck)
+
+    # comparisons -> FheBool
+    def __gt__(self, other):
+        o = self._coerce(other)
+        return FheBool(circuits.greater_than(self.bits, o.bits, self.ck), self.ck)
+
+    def __lt__(self, other):
+        o = self._coerce(other)
+        return FheBool(circuits.greater_than(o.bits, self.bits, self.ck), self.ck)
+
+    def __ge__(self, other):
+        return ~self.__lt__(other)
+
+    def __le__(self, other):
+        return ~self.__gt__(other)
+
+    def __eq__(self, other):  # noqa: D105 — returns FheBool, like numpy
+        o = self._coerce(other)
+        return FheBool(circuits.equals(self.bits, o.bits, self.ck), self.ck)
+
+    def __ne__(self, other):
+        return ~self.__eq__(other)
+
+    __hash__ = None
+
+    def __repr__(self):
+        return f"FheUint{self.width}(batch={self.bits.shape[:-2]})"
+
+
+class FheUintRadix:
+    """A (batch of) encrypted unsigned integer(s) as base-2^b digit vectors
+    uint32 [..., D, n0+1] (models.arithmetic encoding) — the fast arithmetic
+    path: `+` is 2D-1 programmable bootstraps, `*` is the full-width
+    ciphertext x ciphertext product (2D^2+6D PBS; the reference has no
+    ciphertext multiply at all). `apply` maps any per-digit function via one
+    batched PBS.
+
+    Use `SECURITY_128_BIT_RADIX` (base_bits<=3) or `SECURITY_128_BIT_NIBBLE`
+    (base_bits=4, certified p<1e-9) — see models.arithmetic.add_radix's
+    margin table.
+    """
+
+    __slots__ = ("digits", "base_bits", "ck")
+
+    def __init__(self, digits: jax.Array, base_bits: int, ck: CloudKey):
+        self.digits = digits
+        self.base_bits = base_bits
+        self.ck = ck
+
+    @property
+    def num_digits(self) -> int:
+        return self.digits.shape[-2]
+
+    # -- client side ------------------------------------------------------
+    @classmethod
+    def encrypt(cls, key, sk_lv0, values, num_digits: int, ck: CloudKey,
+                base_bits: int = 3):
+        ct = arithmetic.encrypt_radix(
+            key, sk_lv0, values, num_digits, ck.params, base_bits
+        )
+        return cls(ct, base_bits, ck)
+
+    @classmethod
+    def trivial(cls, values, num_digits: int, ck: CloudKey, base_bits: int = 3):
+        vals = np.asarray(values)
+        digits = np.stack(
+            [(vals >> (base_bits * i)) & ((1 << base_bits) - 1)
+             for i in range(num_digits)],
+            axis=-1,
+        )
+        ct = _trivial_message(digits, 1 << (base_bits + 1), ck.params.tlwe_lv0.n)
+        return cls(ct, base_bits, ck)
+
+    def decrypt(self, sk_lv0: jax.Array) -> np.ndarray:
+        return arithmetic.decrypt_radix(self.digits, sk_lv0, self.base_bits)
+
+    # -- server side ------------------------------------------------------
+    def _coerce(self, other) -> "FheUintRadix":
+        if isinstance(other, FheUintRadix):
+            if other.base_bits != self.base_bits:
+                raise ValueError("base_bits mismatch")
+            if other.num_digits != self.num_digits:
+                raise ValueError("digit-count mismatch")
+            return other
+        vals = jnp.broadcast_to(jnp.asarray(other), self.digits.shape[:-2])
+        return FheUintRadix.trivial(
+            np.asarray(vals), self.num_digits, self.ck, self.base_bits
+        )
+
+    def __add__(self, other):
+        o = self._coerce(other)
+        return FheUintRadix(
+            arithmetic.add_radix(self.digits, o.digits, self.ck, self.base_bits),
+            self.base_bits,
+            self.ck,
+        )
+
+    __radd__ = __add__
+
+    def __mul__(self, other):
+        """Full-width product: result has 2D digits."""
+        o = self._coerce(other)
+        return FheUintRadix(
+            arithmetic.mul_radix(self.digits, o.digits, self.ck, self.base_bits),
+            self.base_bits,
+            self.ck,
+        )
+
+    __rmul__ = __mul__
+
+    def apply(self, f) -> "FheUintRadix":
+        """Apply a plaintext function digit-wise via one batched PBS."""
+        return FheUintRadix(
+            arithmetic.apply_lut_radix(self.digits, f, self.ck, self.base_bits),
+            self.base_bits,
+            self.ck,
+        )
+
+    __hash__ = None
+
+    def __repr__(self):
+        return (
+            f"FheUintRadix(D={self.num_digits}, base=2^{self.base_bits}, "
+            f"batch={self.digits.shape[:-2]})"
+        )
