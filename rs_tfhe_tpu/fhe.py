@@ -218,6 +218,20 @@ class FheUint:
 
     __rmul__ = __mul__
 
+    def divmod(self, other):
+        """Encrypted (self // other, self % other) — restoring long division
+        (circuits.divmod_bits); division by encrypted zero yields
+        (2^W - 1, self)."""
+        o = self._coerce(other)
+        q, r = circuits.divmod_bits(self.bits, o.bits, self.ck)
+        return FheUint(q, self.ck), FheUint(r, self.ck)
+
+    def __floordiv__(self, other):
+        return self.divmod(other)[0]
+
+    def __mod__(self, other):
+        return self.divmod(other)[1]
+
     # bitwise — one batched gate each
     def __and__(self, other):
         o = self._coerce(other)

@@ -11,6 +11,7 @@ from .circuits import (  # noqa: F401
     add_kogge_stone,
     add_ripple_carry,
     equals,
+    divmod_bits,
     greater_than,
     sub,
 )

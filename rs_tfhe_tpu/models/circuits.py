@@ -128,6 +128,36 @@ def equals(a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
     return x[..., 0, :]
 
 
+def divmod_bits(n: jax.Array, d: jax.Array, ck: CloudKey):
+    """Encrypted (n // d, n % d) for W-bit unsigned integers — restoring
+    long division, a capability the reference does not have.
+
+    n, d: uint32 [..., W, n0+1] bit batches. W rounds, each: shift a bit of
+    n into a (W+1)-bit partial remainder (free row moves), one comparator
+    (remainder >= d), one Kogge-Stone subtract and one batched MUX —
+    O(W^2) bootstrapped gates total, every round batched over all leading
+    dims. Division by an encrypted zero follows the usual FHE convention:
+    quotient = 2^W - 1, remainder = n (nothing is revealed).
+    """
+    w = n.shape[-2]
+    false_ct = gates.constant(False, 1, ck.params)[0]
+    zero_row = jnp.broadcast_to(false_ct, (*n.shape[:-2], 1, n.shape[-1]))
+    # (W+1)-bit working width: after the restoring step R < d <= 2^W - 1,
+    # so 2R + bit fits in W+1 bits
+    d_ext = jnp.concatenate([d, zero_row], axis=-2)
+    rem = jnp.broadcast_to(false_ct, (*n.shape[:-2], w + 1, n.shape[-1]))
+    q_bits = []
+    for i in reversed(range(w)):
+        rem = jnp.concatenate([n[..., i : i + 1, :], rem[..., :w, :]], axis=-2)
+        ge = gates.not_(greater_than(d_ext, rem, ck))  # rem >= d
+        diff = sub(rem, d_ext, ck)
+        sel = jnp.broadcast_to(ge[..., None, :], rem.shape)
+        rem = gates.mux(sel, diff, rem, ck)
+        q_bits.append(ge)
+    q = jnp.stack(q_bits[::-1], axis=-2)  # collected MSB-first
+    return q, rem[..., :w, :]
+
+
 def greater_than(a: jax.Array, b: jax.Array, ck: CloudKey) -> jax.Array:
     """Encrypted a > b (unsigned) -> one ciphertext [..., n0+1].
 

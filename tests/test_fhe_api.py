@@ -76,6 +76,18 @@ def test_fhe_uint_comparisons(sk, ck):
     np.testing.assert_array_equal((x != y).decrypt(sk.lv0), x_pt != y_pt)
 
 
+def test_fhe_uint_divmod(sk, ck):
+    x_pt = np.array([13, 9, 7])
+    y_pt = np.array([3, 4, 0])  # includes division by encrypted zero
+    x = FheUint.encrypt(jax.random.key(2), sk.lv0, x_pt, W, ck)
+    y = FheUint.encrypt(jax.random.key(3), sk.lv0, y_pt, W, ck)
+    q, r = x.divmod(y)
+    # FHE convention for /0: quotient all-ones, remainder = numerator
+    np.testing.assert_array_equal(q.decrypt(sk.lv0), np.array([4, 2, 15]))
+    np.testing.assert_array_equal(r.decrypt(sk.lv0), np.array([1, 1, 7]))
+    np.testing.assert_array_equal((x % 5).decrypt(sk.lv0), x_pt % 5)
+
+
 def test_fhe_uint_select(sk, ck):
     sel = FheBool.encrypt(jax.random.key(2), sk.lv0, np.array([True, False]), ck)
     x = FheUint.encrypt(jax.random.key(3), sk.lv0, np.array([12, 12]), W, ck)
