@@ -51,7 +51,7 @@ def _trivial_message(values, message_modulus: int, n: int) -> jax.Array:
 
 def _bits_of(vals, width: int) -> np.ndarray:
     """LSB-first bit planes of an integer array: [..., width] bool."""
-    vals = np.asarray(vals, dtype=np.uint64)
+    vals = np.asarray(vals).astype(np.int64).astype(np.uint64)  # wrap negatives
     return np.stack([(vals >> i) & 1 for i in range(width)], axis=-1).astype(bool)
 
 
@@ -120,7 +120,7 @@ class FheBool:
         """
         if isinstance(if_true, FheUint):
             sel = jnp.broadcast_to(self.ct[..., None, :], if_true.bits.shape)
-            return FheUint(
+            return type(if_true)(
                 gates.mux(sel, if_true.bits, if_false.bits, self.ck), self.ck
             )
         t, f = self._coerce(if_true), self._coerce(if_false)
@@ -180,17 +180,17 @@ class FheUint:
                 raise ValueError(f"width mismatch: {self.width} vs {other.width}")
             return other
         vals = jnp.broadcast_to(jnp.asarray(other), self.bits.shape[:-2])
-        return FheUint.trivial(np.asarray(vals), self.width, self.ck)
+        return type(self).trivial(np.asarray(vals), self.width, self.ck)
 
     def __add__(self, other):
         o = self._coerce(other)
-        return FheUint(circuits.add_kogge_stone(self.bits, o.bits, self.ck), self.ck)
+        return type(self)(circuits.add_kogge_stone(self.bits, o.bits, self.ck), self.ck)
 
     __radd__ = __add__
 
     def __sub__(self, other):
         o = self._coerce(other)
-        return FheUint(circuits.sub(self.bits, o.bits, self.ck), self.ck)
+        return type(self)(circuits.sub(self.bits, o.bits, self.ck), self.ck)
 
     def __rsub__(self, other):
         return self._coerce(other).__sub__(self)
@@ -214,7 +214,7 @@ class FheUint:
                 if acc is None
                 else circuits.add_kogge_stone(acc, partial, self.ck)
             )
-        return FheUint(acc, self.ck)
+        return type(self)(acc, self.ck)
 
     __rmul__ = __mul__
 
@@ -224,7 +224,7 @@ class FheUint:
         (2^W - 1, self)."""
         o = self._coerce(other)
         q, r = circuits.divmod_bits(self.bits, o.bits, self.ck)
-        return FheUint(q, self.ck), FheUint(r, self.ck)
+        return type(self)(q, self.ck), type(self)(r, self.ck)
 
     def __floordiv__(self, other):
         return self.divmod(other)[0]
@@ -235,32 +235,32 @@ class FheUint:
     # bitwise — one batched gate each
     def __and__(self, other):
         o = self._coerce(other)
-        return FheUint(gates.and_(self.bits, o.bits, self.ck), self.ck)
+        return type(self)(gates.and_(self.bits, o.bits, self.ck), self.ck)
 
     def __or__(self, other):
         o = self._coerce(other)
-        return FheUint(gates.or_(self.bits, o.bits, self.ck), self.ck)
+        return type(self)(gates.or_(self.bits, o.bits, self.ck), self.ck)
 
     def __xor__(self, other):
         o = self._coerce(other)
-        return FheUint(gates.xor(self.bits, o.bits, self.ck), self.ck)
+        return type(self)(gates.xor(self.bits, o.bits, self.ck), self.ck)
 
     __rand__ = __and__
     __ror__ = __or__
     __rxor__ = __xor__
 
     def __invert__(self):
-        return FheUint(gates.not_(self.bits), self.ck)
+        return type(self)(gates.not_(self.bits), self.ck)
 
     # plaintext-amount shifts are free row moves (mod 2^W)
     def __lshift__(self, k: int):
         false_ct = gates.constant(False, 1, self.ck.params)[0]
-        return FheUint(circuits._shift_up(self.bits, k, false_ct), self.ck)
+        return type(self)(circuits._shift_up(self.bits, k, false_ct), self.ck)
 
     def __rshift__(self, k: int):
         false_ct = gates.constant(False, 1, self.ck.params)[0]
         pad = jnp.broadcast_to(false_ct, (*self.bits.shape[:-2], k, self.bits.shape[-1]))
-        return FheUint(jnp.concatenate([self.bits[..., k:, :], pad], axis=-2), self.ck)
+        return type(self)(jnp.concatenate([self.bits[..., k:, :], pad], axis=-2), self.ck)
 
     # comparisons -> FheBool
     def __gt__(self, other):
@@ -288,6 +288,75 @@ class FheUint:
 
     def __repr__(self):
         return f"FheUint{self.width}(batch={self.bits.shape[:-2]})"
+
+
+class FheInt(FheUint):
+    """A (batch of) encrypted W-bit *signed* integer(s), two's complement.
+
+    `+`, `-`, `*`, bitwise ops and `<<` are bit-identical to the unsigned
+    circuits mod 2^W (two's complement); this subclass overrides what sign
+    changes: decryption, comparisons (MSB-flip then unsigned compare),
+    arithmetic `>>` (sign extension) and truncated-toward-zero division
+    (C/TFHE-rs semantics, NOT Python floor: -7 // 2 == -3, remainder takes
+    the dividend's sign).
+    """
+
+    def decrypt(self, sk_lv0: jax.Array) -> np.ndarray:
+        u = super().decrypt(sk_lv0).astype(np.int64)
+        return u - ((u >> (self.width - 1)) << self.width)
+
+    def _flip_msb(self) -> jax.Array:
+        """Map signed order onto unsigned order: x ^ 2^(W-1) (one free NOT
+        on the MSB row)."""
+        return jnp.concatenate(
+            [self.bits[..., :-1, :], gates.not_(self.bits[..., -1:, :])], axis=-2
+        )
+
+    def __gt__(self, other):
+        o = self._coerce(other)
+        return FheBool(
+            circuits.greater_than(self._flip_msb(), o._flip_msb(), self.ck), self.ck
+        )
+
+    def __lt__(self, other):
+        o = self._coerce(other)
+        return FheBool(
+            circuits.greater_than(o._flip_msb(), self._flip_msb(), self.ck), self.ck
+        )
+
+    def __rshift__(self, k: int):
+        """Arithmetic shift: vacated high bits replicate the sign bit."""
+        sign = self.bits[..., -1:, :]
+        pad = jnp.broadcast_to(
+            sign, (*self.bits.shape[:-2], k, self.bits.shape[-1])
+        )
+        return type(self)(
+            jnp.concatenate([self.bits[..., k:, :], pad], axis=-2), self.ck
+        )
+
+    def sign_bit(self) -> FheBool:
+        """The encrypted sign (True = negative)."""
+        return FheBool(self.bits[..., -1, :], self.ck)
+
+    def abs(self) -> "FheInt":
+        """|self| (two's complement; |INT_MIN| wraps to INT_MIN)."""
+        neg = self.sign_bit()
+        return neg.select(0 - self, self)
+
+    def divmod(self, other):
+        """Truncated-toward-zero signed division on top of the unsigned
+        restoring divider: divide |a| by |b|, then fix the signs (quotient
+        negative iff signs differ; remainder takes the dividend's sign).
+        Division by encrypted zero: quotient = -1, remainder = self."""
+        o = self._coerce(other)
+        sa, sb = self.sign_bit(), o.sign_bit()
+        qu, ru = FheUint.divmod(self.abs(), o.abs())
+        q = (sa ^ sb).select(0 - qu, qu)
+        r = sa.select(0 - ru, ru)
+        return type(self)(q.bits, self.ck), type(self)(r.bits, self.ck)
+
+    def __repr__(self):
+        return f"FheInt{self.width}(batch={self.bits.shape[:-2]})"
 
 
 class FheUintRadix:

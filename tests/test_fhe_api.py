@@ -8,7 +8,7 @@ import jax
 import numpy as np
 import pytest
 
-from rs_tfhe_tpu import FheBool, FheUint, FheUintRadix
+from rs_tfhe_tpu import FheBool, FheInt, FheUint, FheUintRadix
 from rs_tfhe_tpu.key import CloudKey, SecretKey
 
 W = 4  # FheUint width — keeps the schoolbook multiply cheap at TEST_TINY
@@ -95,6 +95,38 @@ def test_fhe_uint_select(sk, ck):
     np.testing.assert_array_equal(
         sel.select(x, y).decrypt(sk.lv0), np.array([12, 5])
     )
+
+
+def test_fhe_int_signed(sk, ck):
+    x_pt = np.array([-3, 5, -8])  # W=4 signed range [-8, 7]
+    y_pt = np.array([2, -6, 7])
+    x = FheInt.encrypt(jax.random.key(2), sk.lv0, x_pt, W, ck)
+    y = FheInt.encrypt(jax.random.key(3), sk.lv0, y_pt, W, ck)
+
+    def wrap(v):  # two's complement wrap to [-8, 8)
+        return (v + 8) % 16 - 8
+
+    np.testing.assert_array_equal((x + y).decrypt(sk.lv0), wrap(x_pt + y_pt))
+    np.testing.assert_array_equal((x - y).decrypt(sk.lv0), wrap(x_pt - y_pt))
+    np.testing.assert_array_equal((x * y).decrypt(sk.lv0), wrap(x_pt * y_pt))
+    # signed comparisons (MSB-flip trick)
+    np.testing.assert_array_equal((x > y).decrypt(sk.lv0), x_pt > y_pt)
+    np.testing.assert_array_equal((x < y).decrypt(sk.lv0), x_pt < y_pt)
+    np.testing.assert_array_equal((x >= y).decrypt(sk.lv0), x_pt >= y_pt)
+    # arithmetic right shift sign-extends
+    np.testing.assert_array_equal((x >> 1).decrypt(sk.lv0), x_pt >> 1)
+    np.testing.assert_array_equal(x.abs().decrypt(sk.lv0), wrap(np.abs(x_pt)))
+
+
+def test_fhe_int_divmod(sk, ck):
+    x_pt = np.array([-7, 7, -7])
+    y_pt = np.array([2, -2, -2])
+    x = FheInt.encrypt(jax.random.key(2), sk.lv0, x_pt, W, ck)
+    y = FheInt.encrypt(jax.random.key(3), sk.lv0, y_pt, W, ck)
+    q, r = x.divmod(y)
+    # truncated-toward-zero (C semantics): -7/2 = -3 rem -1
+    np.testing.assert_array_equal(q.decrypt(sk.lv0), np.array([-3, -3, 3]))
+    np.testing.assert_array_equal(r.decrypt(sk.lv0), np.array([-1, 1, -1]))
 
 
 def test_fhe_uint_radix(sk, ck):
