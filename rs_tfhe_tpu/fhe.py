@@ -26,27 +26,12 @@ import numpy as np
 from . import gates
 from .key import CloudKey
 from .models import arithmetic, circuits
-from .tlwe import lwe_decrypt_bool, lwe_encrypt_bool
-from .torus import TORUS_DTYPE, f64_to_torus
-
-
-def _trivial_bool(values, n: int) -> jax.Array:
-    """Noiseless maskless ciphertexts of boolean plaintexts: body = ±1/8,
-    mask = 0 (decrypts under any key; the gate linear forms treat it exactly
-    like a fresh encryption)."""
-    values = jnp.asarray(values, dtype=bool)
-    mu = jnp.uint32(int(f64_to_torus(0.125)))
-    body = jnp.where(values, mu, jnp.uint32(0) - mu)
-    ct = jnp.zeros((*values.shape, n + 1), dtype=TORUS_DTYPE)
-    return ct.at[..., -1].set(body)
-
-
-def _trivial_message(values, message_modulus: int, n: int) -> jax.Array:
-    """Noiseless ciphertexts under the msg/(2*modulus) PBS encoding."""
-    values = jnp.mod(jnp.asarray(values), message_modulus)
-    scale = np.uint32(f64_to_torus(1.0 / (2.0 * message_modulus)))
-    ct = jnp.zeros((*values.shape, n + 1), dtype=TORUS_DTYPE)
-    return ct.at[..., -1].set(values.astype(TORUS_DTYPE) * scale)
+from .tlwe import (
+    lwe_decrypt_bool,
+    lwe_encrypt_bool,
+    lwe_trivial_bool as _trivial_bool,
+    lwe_trivial_message as _trivial_message,
+)
 
 
 def _bits_of(vals, width: int) -> np.ndarray:
@@ -428,6 +413,18 @@ class FheUintRadix:
         )
 
     __radd__ = __add__
+
+    def __sub__(self, other):
+        """a - b mod base^D via the radix complement (2D PBS)."""
+        o = self._coerce(other)
+        return FheUintRadix(
+            arithmetic.sub_radix(self.digits, o.digits, self.ck, self.base_bits),
+            self.base_bits,
+            self.ck,
+        )
+
+    def __rsub__(self, other):
+        return self._coerce(other).__sub__(self)
 
     def __mul__(self, other):
         """Full-width product: result has 2D digits."""

@@ -6,6 +6,7 @@ from .arithmetic import (  # noqa: F401
     decrypt_radix,
     encrypt_radix,
     mul_radix,
+    sub_radix,
 )
 from .circuits import (  # noqa: F401
     add_kogge_stone,

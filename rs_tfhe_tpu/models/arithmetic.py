@@ -21,7 +21,7 @@ import numpy as np
 from ..bootstrap import bootstrap_with_testvec
 from ..key import CloudKey
 from ..lut.generator import Generator
-from ..tlwe import lwe_decrypt_message, lwe_encrypt_message
+from ..tlwe import lwe_decrypt_message, lwe_encrypt_message, lwe_trivial_message
 
 
 def encrypt_radix(
@@ -50,7 +50,8 @@ def decrypt_radix(ct: jax.Array, sk_lv0: jax.Array, base_bits: int = 3):
     return val
 
 
-def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
+def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3,
+              carry_in: jax.Array | None = None):
     """Digit-vector addition, 2D - 1 programmable bootstraps for D digits.
 
     a, b: uint32 [..., D, n0+1]. The linear ciphertext add produces the raw
@@ -65,6 +66,10 @@ def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
     the reference's reliability, and 7.3 sigma = certified at base_bits=3);
     SECURITY_128_BIT_NIBBLE (N=4096) certifies base_bits=4 at ~6.5 sigma
     (p < 1e-9) — use it when nibble adds must not fail.
+
+    carry_in: optional [..., n0+1] ciphertext added into digit 0 (the raw
+    sum must stay < 2^(b+1) — a 0/1 value; sub_radix uses it for the +1 of
+    the radix-complement subtraction).
     """
     d = a.shape[-2]
     base = 1 << base_bits
@@ -73,7 +78,7 @@ def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
     lut_mod = gen.generate_lookup_table(lambda x: x % base).poly  # [2, N]
     lut_div = gen.generate_lookup_table(lambda x: x // base).poly
 
-    carry = None
+    carry = carry_in
     outs = []
     for i in range(d):
         s = a[..., i, :] + b[..., i, :]
@@ -90,6 +95,25 @@ def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
         else:
             outs.append(bootstrap_with_testvec(s, lut_mod, ck))
     return jnp.stack(outs, axis=-2)
+
+
+def sub_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
+    """Digit-vector subtraction a - b (mod base^D), 2D programmable
+    bootstraps: a + (base^D - 1 - b) + 1, where the radix complement is
+    digit-wise (base-1-b_i) — one batched PBS over all D digits, no borrow
+    chain — and the +1 rides add_radix's carry_in. Same margins as
+    add_radix. No reference analogue (its LUT demo only adds,
+    examples/lut_add_two_numbers.rs)."""
+    base = 1 << base_bits
+    modulus = 2 * base
+    gen = Generator(modulus, ck.params)
+    lut_comp = gen.generate_lookup_table(lambda v: (base - 1 - v) % base).poly
+    tv = jnp.broadcast_to(lut_comp, (*b.shape[:-1], *lut_comp.shape))
+    comp = bootstrap_with_testvec(b, tv, ck)
+    one = lwe_trivial_message(
+        jnp.ones(a.shape[:-2], dtype=jnp.uint32), modulus, a.shape[-1] - 1
+    )
+    return add_radix(a, comp, ck, base_bits, carry_in=one)
 
 
 def apply_lut_radix(ct: jax.Array, f, ck: CloudKey, base_bits: int = 3):

@@ -83,6 +83,27 @@ def lwe_decrypt_message(ct: jax.Array, s: jax.Array, message_modulus: int):
     return (res_f64 / scale + 0.5).astype(np.int64) % message_modulus
 
 
+def lwe_trivial_bool(msg: jax.Array, n: int) -> jax.Array:
+    """Noiseless maskless ciphertexts of boolean plaintexts: body = ±1/8,
+    mask = 0 (decrypt under any key; gate linear forms treat them exactly
+    like fresh encryptions). No reference analogue — the reference has no
+    server-side plaintext injection."""
+    msg = jnp.asarray(msg, dtype=bool)
+    mu = jnp.uint32(int(f64_to_torus(0.125)))
+    body = jnp.where(msg, mu, jnp.uint32(0) - mu)
+    ct = jnp.zeros((*msg.shape, n + 1), dtype=TORUS_DTYPE)
+    return ct.at[..., -1].set(body)
+
+
+def lwe_trivial_message(msg, message_modulus: int, n: int) -> jax.Array:
+    """Noiseless maskless ciphertexts under the msg/(2*modulus) PBS
+    encoding (lwe_encrypt_message with zero mask and zero noise)."""
+    msg = jnp.mod(jnp.asarray(msg), message_modulus)
+    scale = np.uint32(f64_to_torus(1.0 / (2.0 * message_modulus)))
+    ct = jnp.zeros((*msg.shape, n + 1), dtype=TORUS_DTYPE)
+    return ct.at[..., -1].set(msg.astype(TORUS_DTYPE) * scale)
+
+
 # ---------------------------------------------------------------------------
 # Homomorphic linear operators (reference tlwe.rs:129-214)
 # ---------------------------------------------------------------------------

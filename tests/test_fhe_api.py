@@ -139,6 +139,8 @@ def test_fhe_uint_radix(sk, ck):
 
     np.testing.assert_array_equal((x + y).decrypt(sk.lv0), (x_pt + y_pt) % 64)
     np.testing.assert_array_equal((x + 9).decrypt(sk.lv0), (x_pt + 9) % 64)
+    np.testing.assert_array_equal((x - y).decrypt(sk.lv0), (x_pt - y_pt) % 64)
+    np.testing.assert_array_equal((5 - x).decrypt(sk.lv0), (5 - x_pt) % 64)
     # per-digit LUT map
     np.testing.assert_array_equal(
         x.apply(lambda v: (v * 3) % 4).decrypt(sk.lv0),
