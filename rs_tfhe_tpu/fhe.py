@@ -100,9 +100,19 @@ class FheBool:
     def select(self, if_true: "FheUint | FheBool", if_false: "FheUint | FheBool"):
         """Bootstrapped MUX: self ? if_true : if_false (element-wise).
 
-        Works on FheBool and FheUint branches (the selector broadcasts over
-        the bit axis for FheUint).
+        Works on FheBool, FheUint and FheUintRadix branches (the selector
+        broadcasts over the bit/digit axis; FheUintRadix routes through the
+        3-rotation arithmetic.select_radix instead of per-bit MUXes).
         """
+        if isinstance(if_true, FheUintRadix):
+            return FheUintRadix(
+                arithmetic.select_radix(
+                    self.ct, if_true.digits, if_false.digits, self.ck,
+                    if_true.base_bits,
+                ),
+                if_true.base_bits,
+                self.ck,
+            )
         if isinstance(if_true, FheUint):
             sel = jnp.broadcast_to(self.ct[..., None, :], if_true.bits.shape)
             return type(if_true)(
@@ -441,6 +451,53 @@ class FheUintRadix:
         """Apply a plaintext function digit-wise via one batched PBS."""
         return FheUintRadix(
             arithmetic.apply_lut_radix(self.digits, f, self.ck, self.base_bits),
+            self.base_bits,
+            self.ck,
+        )
+
+    # comparisons -> FheBool (MSB-first trichotomy tree: 1 + ceil(log2 D)
+    # batched blind rotations — see arithmetic.compare_radix)
+    def compare(self, other):
+        """(eq, gt, lt) FheBool triple in one tree evaluation — cheaper than
+        three separate operator calls when more than one verdict is needed."""
+        o = self._coerce(other)
+        eq, gt, lt = arithmetic.compare_radix(
+            self.digits, o.digits, self.ck, self.base_bits
+        )
+        return FheBool(eq, self.ck), FheBool(gt, self.ck), FheBool(lt, self.ck)
+
+    def __eq__(self, other):  # noqa: D105 — returns FheBool, like numpy
+        return self.compare(other)[0]
+
+    def __ne__(self, other):
+        return ~self.compare(other)[0]
+
+    def __gt__(self, other):
+        return self.compare(other)[1]
+
+    def __lt__(self, other):
+        return self.compare(other)[2]
+
+    def __ge__(self, other):
+        return ~self.compare(other)[2]
+
+    def __le__(self, other):
+        return ~self.compare(other)[1]
+
+    def min(self, other) -> "FheUintRadix":
+        """Encrypted element-wise minimum (compare tree + 3-rotation select)."""
+        o = self._coerce(other)
+        return FheUintRadix(
+            arithmetic.min_radix(self.digits, o.digits, self.ck, self.base_bits),
+            self.base_bits,
+            self.ck,
+        )
+
+    def max(self, other) -> "FheUintRadix":
+        """Encrypted element-wise maximum."""
+        o = self._coerce(other)
+        return FheUintRadix(
+            arithmetic.max_radix(self.digits, o.digits, self.ck, self.base_bits),
             self.base_bits,
             self.ck,
         )

@@ -14,14 +14,17 @@ express.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bootstrap import bootstrap_with_testvec
+from ..bootstrap import bootstrap, bootstrap_with_testvec
 from ..key import CloudKey
 from ..lut.generator import Generator
 from ..tlwe import lwe_decrypt_message, lwe_encrypt_message, lwe_trivial_message
+from ..torus import f64_to_torus
 
 
 def encrypt_radix(
@@ -308,3 +311,199 @@ def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
         else:
             outs.append(bootstrap_with_testvec(s, lut_dig, ck))
     return jnp.stack(outs, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Comparisons and selection over radix digit vectors — capabilities the
+# reference does not have (its comparisons exist only as boolean bit
+# circuits; there is no encrypted select over LUT-encoded integers).
+# ---------------------------------------------------------------------------
+
+_TRI_MOD = 16  # combine-stage modulus: w = 3*t_hi + t_lo in [0, 9) < 16
+
+
+def _raw(value: int, modulus: int) -> int:
+    """Raw torus encoding value/(2*modulus) as an int in [0, 2^32)."""
+    return value * (1 << 32) // (2 * modulus) % (1 << 32)
+
+
+def _bool_raw(flag: bool) -> int:
+    """Raw torus of a gate-encoded boolean (+/- 1/8)."""
+    mu = int(f64_to_torus(0.125))
+    return mu if flag else (1 << 32) - mu
+
+
+def _tri(v: int, base: int) -> int:
+    """Trichotomy of the shifted digit difference v = a_i - b_i + base:
+    0 = equal, 1 = a > b, 2 = a < b."""
+    return 0 if v == base else (1 if v > base else 2)
+
+
+def _tri_combine(w: int) -> int:
+    """Merge two trichotomies packed as w = 3*t_hi + t_lo: the higher digit
+    wins unless it says equal."""
+    q = w // 3
+    return q if q else w % 3
+
+
+@lru_cache(maxsize=64)
+def _cmp_luts(base_bits: int, params):
+    """Device LUT polynomials for compare_radix (cached per parameter set)."""
+    base = 1 << base_bits
+    gen_in = Generator(2 * base, params)
+    gen_w = Generator(_TRI_MOD, params)
+    t = lambda v: _tri(v, base)  # noqa: E731
+    return {
+        # leaf stage: shifted difference (modulus 2*base) -> trichotomy at
+        # the two combine scales (3t and t, modulus 16)
+        "leaf_e3": gen_in.generate_lookup_table_full(
+            lambda v: _raw(3 * t(v), _TRI_MOD)).poly,
+        "leaf_e1": gen_in.generate_lookup_table_full(
+            lambda v: _raw(t(v), _TRI_MOD)).poly,
+        # tree stage: w = 3*t_hi + t_lo -> merged trichotomy, same scales
+        "comb_e3": gen_w.generate_lookup_table_full(
+            lambda w: _raw(3 * _tri_combine(w), _TRI_MOD)).poly,
+        "comb_e1": gen_w.generate_lookup_table_full(
+            lambda w: _raw(_tri_combine(w), _TRI_MOD)).poly,
+        # final stages: trichotomy -> (eq, gt, lt) gate-encoded booleans
+        "leaf_bool": jnp.stack([
+            gen_in.generate_lookup_table_full(
+                lambda v, k=k: _bool_raw(t(v) == k)).poly
+            for k in range(3)
+        ]),
+        "comb_bool": jnp.stack([
+            gen_w.generate_lookup_table_full(
+                lambda w, k=k: _bool_raw(_tri_combine(w) == k)).poly
+            for k in range(3)
+        ]),
+    }
+
+
+def compare_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
+    """Encrypted comparison of two radix digit vectors: returns the triple
+    (eq, gt, lt) of boolean ciphertexts (gates/FheBool +/-1/8 encoding),
+    gt meaning a > b.
+
+    MSB-first trichotomy tree: one batched PBS maps each digit's shifted
+    difference a_i - b_i + base (modulus 2*base, always in [1, 2*base-1] so
+    it never leaves the padding half) to its {equal, greater, less} verdict,
+    emitted at TWO torus scales (3t and t at modulus 16) so the linear sum
+    w = 3*t_hi + t_lo of adjacent tree nodes feeds one bivariate combine
+    LUT per level ("highest non-equal digit wins"). The last level emits
+    all three booleans from one blind rotation. Total batched blind
+    rotations: 1 + ceil(log2 D) for D digits (1 for D = 1).
+
+    Margins: the leaf stage sums 2 fresh/bootstrapped ciphertexts at
+    modulus 2*base, the combine stage sums 2 PBS outputs at modulus 16 —
+    both at or inside add_radix's certified envelope
+    (utils.noise.lut_margin(params, 2*base, 2) / (params, 16, 2)), so
+    compare_radix is certified wherever add_radix is.
+    """
+    d = a.shape[-2]
+    luts = _cmp_luts(base_bits, ck.params)
+    diff = a - b
+    # + base at the modulus-2*base scale = + base/(4*base) = exactly 1/4
+    diff = diff.at[..., -1].add(jnp.uint32(1 << 30))
+
+    def _three(ct, polys):
+        trip = jnp.stack([ct, ct, ct], axis=-2)
+        tvs = jnp.broadcast_to(polys, (*ct.shape[:-1], *polys.shape))
+        res = bootstrap_with_testvec(trip, tvs, ck)
+        return res[..., 0, :], res[..., 1, :], res[..., 2, :]
+
+    if d == 1:
+        return _three(diff[..., 0, :], luts["leaf_bool"])
+
+    both = jnp.concatenate([diff, diff], axis=-2)  # [..., 2D, n0+1]
+    tvs = jnp.concatenate(
+        [
+            jnp.broadcast_to(luts["leaf_e3"], (*diff.shape[:-1], 2, luts["leaf_e3"].shape[-1])),
+            jnp.broadcast_to(luts["leaf_e1"], (*diff.shape[:-1], 2, luts["leaf_e1"].shape[-1])),
+        ],
+        axis=-3,
+    )
+    res = bootstrap_with_testvec(both, tvs, ck)
+    # (e3, e1) per digit, LSB first
+    nodes = [(res[..., i, :], res[..., d + i, :]) for i in range(d)]
+
+    while True:
+        ws = [nodes[i + 1][0] + nodes[i][1] for i in range(0, len(nodes) - 1, 2)]
+        leftover = [nodes[-1]] if len(nodes) % 2 else []
+        if len(ws) == 1 and not leftover:
+            return _three(ws[0], luts["comb_bool"])
+        stack_w = jnp.stack(ws, axis=-2)
+        both = jnp.concatenate([stack_w, stack_w], axis=-2)
+        tvs = jnp.concatenate(
+            [
+                jnp.broadcast_to(luts["comb_e3"], (*stack_w.shape[:-1], 2, luts["comb_e3"].shape[-1])),
+                jnp.broadcast_to(luts["comb_e1"], (*stack_w.shape[:-1], 2, luts["comb_e1"].shape[-1])),
+            ],
+            axis=-3,
+        )
+        res = bootstrap_with_testvec(both, tvs, ck)
+        k = len(ws)
+        nodes = [(res[..., i, :], res[..., k + i, :]) for i in range(k)] + leftover
+
+
+@lru_cache(maxsize=64)
+def _sel_luts(base_bits: int, params):
+    """Device LUT polynomials for select_radix (cached per parameter set)."""
+    base = 1 << base_bits
+    m = 2 * base
+    gen = Generator(m, params)
+    return {
+        # w = base*sel + digit: keep the branch its mask selects, else 0
+        "take": gen.generate_lookup_table_full(
+            lambda w: _raw(w - base, m) if w >= base else 0).poly,
+        "drop": gen.generate_lookup_table_full(
+            lambda w: 0 if w >= base else _raw(w, m)).poly,
+        "ident": gen.generate_lookup_table_full(
+            lambda v: _raw(v % base, m)).poly,
+    }
+
+
+def select_radix(sel: jax.Array, t: jax.Array, f: jax.Array, ck: CloudKey,
+                 base_bits: int = 3, refresh: bool = True):
+    """Encrypted select over radix digit vectors: sel ? t : f, element-wise.
+
+    sel: boolean ciphertext [..., n0+1] (+/-1/8 gate encoding, e.g. a
+    compare_radix output or any gate result); t, f: [..., D, n0+1] digit
+    vectors. Three batched blind rotations: (1) a gate bootstrap turns sel
+    into a {0, 1/4} torus mask, (2) per-digit bivariate LUTs on
+    w = base*sel + digit (modulus 2*base) zero out the unselected branch
+    of each digit, so the linear sum of the two masked branches is the
+    selected digit with 2-PBS noise, (3) an identity PBS refreshes it to
+    fresh-digit noise (skippable with refresh=False when the result only
+    feeds another PBS stage that tolerates 2 summands).
+    """
+    d = t.shape[-2]
+    luts = _sel_luts(base_bits, ck.params)
+    mask = bootstrap(sel, ck)  # +/- 1/8
+    mask = mask.at[..., -1].add(jnp.uint32(int(f64_to_torus(0.125))))  # {0, 1/4}
+    wt = t + mask[..., None, :]
+    wf = f + mask[..., None, :]
+    both = jnp.concatenate([wt, wf], axis=-2)
+    tvs = jnp.concatenate(
+        [
+            jnp.broadcast_to(luts["take"], (*wt.shape[:-1], 2, luts["take"].shape[-1])),
+            jnp.broadcast_to(luts["drop"], (*wf.shape[:-1], 2, luts["drop"].shape[-1])),
+        ],
+        axis=-3,
+    )
+    res = bootstrap_with_testvec(both, tvs, ck)
+    out = res[..., :d, :] + res[..., d:, :]
+    if refresh:
+        out = bootstrap_with_testvec(out, luts["ident"], ck)
+    return out
+
+
+def min_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
+    """Encrypted min of two radix digit vectors (compare + select)."""
+    _, _, lt = compare_radix(a, b, ck, base_bits)
+    return select_radix(lt, a, b, ck, base_bits)
+
+
+def max_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
+    """Encrypted max of two radix digit vectors (compare + select)."""
+    _, _, lt = compare_radix(a, b, ck, base_bits)
+    return select_radix(lt, b, a, ck, base_bits)
