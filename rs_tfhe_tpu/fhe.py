@@ -257,6 +257,19 @@ class FheUint:
         pad = jnp.broadcast_to(false_ct, (*self.bits.shape[:-2], k, self.bits.shape[-1]))
         return type(self)(jnp.concatenate([self.bits[..., k:, :], pad], axis=-2), self.ck)
 
+    def to_radix(self, base_bits: int = 3,
+                 num_digits: int | None = None) -> "FheUintRadix":
+        """Cast to the radix (LUT-arithmetic) representation — two batched
+        blind rotations (arithmetic.bits_to_radix). Use it to hop from
+        bit-circuit territory (cheap bitwise ops, shifts, comparisons) into
+        PBS-digit territory (cheap add/mul)."""
+        d = num_digits if num_digits is not None else -(-self.width // base_bits)
+        return FheUintRadix(
+            arithmetic.bits_to_radix(self.bits, self.ck, base_bits, d),
+            base_bits,
+            self.ck,
+        )
+
     # comparisons -> FheBool
     def __gt__(self, other):
         o = self._coerce(other)
@@ -451,6 +464,24 @@ class FheUintRadix:
         """Apply a plaintext function digit-wise via one batched PBS."""
         return FheUintRadix(
             arithmetic.apply_lut_radix(self.digits, f, self.ck, self.base_bits),
+            self.base_bits,
+            self.ck,
+        )
+
+    def to_bits(self) -> "FheUint":
+        """Cast to the bit-level representation (FheUint of width
+        D*base_bits) — one batched blind rotation
+        (arithmetic.radix_to_bits)."""
+        return FheUint(
+            arithmetic.radix_to_bits(self.digits, self.ck, self.base_bits),
+            self.ck,
+        )
+
+    def shift_digits(self, k: int) -> "FheUintRadix":
+        """Multiply (k>0) / divide (k<0) by base^k mod base^D — free digit
+        moves, no bootstraps."""
+        return FheUintRadix(
+            arithmetic.shift_digits(self.digits, k, self.base_bits),
             self.base_bits,
             self.ck,
         )

@@ -507,3 +507,106 @@ def max_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
     """Encrypted max of two radix digit vectors (compare + select)."""
     _, _, lt = compare_radix(a, b, ck, base_bits)
     return select_radix(lt, b, a, ck, base_bits)
+
+
+# ---------------------------------------------------------------------------
+# Radix <-> bit-level conversion (casts between the two integer worlds).
+# No reference analogue: its LUT encoding and bit encoding never interoperate
+# (examples/lut_add_two_numbers.rs decrypts in between).
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=64)
+def _cast_luts(base_bits: int, params):
+    """Device LUTs for radix<->bits conversion (cached per parameter set)."""
+    base = 1 << base_bits
+    m = 2 * base
+    gen = Generator(m, params)
+    return {
+        # digit -> its j-th bit as a gate-encoded boolean
+        "bits": jnp.stack([
+            gen.generate_lookup_table_full(
+                lambda v, j=j: _bool_raw(((v % base) >> j) & 1)).poly
+            for j in range(base_bits)
+        ]),
+        "ident": gen.generate_lookup_table_full(
+            lambda v: _raw(v % base, m)).poly,
+    }
+
+
+def radix_to_bits(ct: jax.Array, ck: CloudKey, base_bits: int = 3) -> jax.Array:
+    """Convert radix digit vectors [..., D, n0+1] to gate-encoded boolean bit
+    vectors [..., D*base_bits, n0+1] (LSB first, bit_utils layout) in ONE
+    batched blind rotation: each digit is repeated base_bits times and paired
+    with a per-ciphertext bit-extraction LUT. Margin: single-summand PBS at
+    modulus 2*base — the widest envelope in this module."""
+    d = ct.shape[-2]
+    luts = _cast_luts(base_bits, ck.params)
+    rep = jnp.repeat(ct, base_bits, axis=-2)  # [..., D*b, n0+1]
+    tvs = jnp.tile(luts["bits"], (d, 1, 1))  # [D*b, 2, N]
+    tvs = jnp.broadcast_to(tvs, (*rep.shape[:-2], *tvs.shape))
+    return bootstrap_with_testvec(rep, tvs, ck)
+
+
+def bits_to_radix(bits: jax.Array, ck: CloudKey, base_bits: int = 3,
+                  num_digits: int | None = None) -> jax.Array:
+    """Convert gate-encoded boolean bit vectors [..., W, n0+1] (LSB first) to
+    radix digit vectors [..., ceil(W/b), n0+1]. Two batched blind rotations:
+
+      1. each bit bootstraps against a constant test vector of amplitude
+         2^j/(4*base)/2 (j = bit position within its digit), so
+         +trivial-shift turns the +/-amplitude sign output into a
+         {0, encode(2^j)} mask;
+      2. the per-digit linear sum of its masks (value = the digit, noise =
+         up to base_bits PBS outputs) is refreshed by one identity PBS.
+
+    Margin: the refresh decodes a base_bits-summand sum at modulus 2*base —
+    lut_margin(params, 2*base, base_bits); at SECURITY_128_BIT_RADIX
+    (b=3, modulus 16, 3 summands) exactly the certified add_radix envelope.
+    """
+    w = bits.shape[-2]
+    base = 1 << base_bits
+    n1 = ck.params.n1
+    d = num_digits if num_digits is not None else -(-w // base_bits)
+    if w > d * base_bits:
+        raise ValueError(f"{w} bits do not fit {d} base-2^{base_bits} digits")
+    luts = _cast_luts(base_bits, ck.params)
+
+    # constant test vectors: amplitude c_j = encode(2^j)/2 — half the digit
+    # encoding 2^j/(4*base) = 2^(30-base_bits+j), so the +/-c sign output
+    # plus the trivial +c shift lands exactly on {0, encode(2^j)}
+    cs = [1 << (30 + j - (base_bits + 1)) for j in range(base_bits)]
+    tv_js = jnp.stack([
+        jnp.stack([jnp.zeros((n1,), jnp.uint32),
+                   jnp.full((n1,), jnp.uint32(c))])
+        for c in cs
+    ])  # [b, 2, N]
+    order = jnp.asarray([j % base_bits for j in range(w)])
+    tvs = tv_js[order]  # [W, 2, N]
+    tvs = jnp.broadcast_to(tvs, (*bits.shape[:-2], *tvs.shape))
+    masks = bootstrap_with_testvec(bits, tvs, ck)  # +/- c_j
+    shift = jnp.asarray([cs[j % base_bits] for j in range(w)], jnp.uint32)
+    masks = masks.at[..., -1].add(shift)  # broadcast over the bit axis
+
+    # per-digit linear sums (pad the top digit's missing bits with nothing)
+    digits = []
+    for i in range(d):
+        lo, hi = i * base_bits, min((i + 1) * base_bits, w)
+        s = masks[..., lo, :]
+        for k in range(lo + 1, hi):
+            s = s + masks[..., k, :]
+        digits.append(s)
+    out = jnp.stack(digits, axis=-2)
+    return bootstrap_with_testvec(out, luts["ident"], ck)
+
+
+def shift_digits(ct: jax.Array, k: int, base_bits: int = 3) -> jax.Array:
+    """Multiply/divide by base^k mod base^D — free digit-row moves, no PBS.
+    Positive k shifts toward the MSB (multiply), negative divides."""
+    d, n = ct.shape[-2], ct.shape[-1]
+    if k == 0:
+        return ct
+    zeros = jnp.zeros((*ct.shape[:-2], min(abs(k), d), n), dtype=ct.dtype)
+    if k > 0:
+        return jnp.concatenate([zeros, ct[..., : max(d - k, 0), :]], axis=-2)
+    return jnp.concatenate([ct[..., min(-k, d):, :], zeros], axis=-2)

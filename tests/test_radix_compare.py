@@ -110,3 +110,49 @@ def test_typed_api_radix_comparisons(mkeys, rng):
     np.testing.assert_array_equal(
         sel.select(a, b).decrypt(sk.lv0), np.where([1, 0, 1, 0], xs, ys)
     )
+
+
+def test_radix_bits_roundtrip(mkeys, rng):
+    """radix -> bits -> radix roundtrip plus shift_digits (free moves)."""
+    from rs_tfhe_tpu.models.arithmetic import (
+        bits_to_radix,
+        radix_to_bits,
+        shift_digits,
+    )
+    sk, ck = mkeys
+    xs = rng.integers(0, 512, 5)
+    a = encrypt_radix(jax.random.key(80), sk.lv0, xs, 3, MP, base_bits=3)
+    bits = radix_to_bits(a, ck, base_bits=3)
+    assert bits.shape[-2] == 9
+    got_bits = np.asarray(jax.device_get(lwe_decrypt_bool(bits, sk.lv0)))
+    want_bits = np.stack([(xs >> i) & 1 for i in range(9)], axis=-1).astype(bool)
+    np.testing.assert_array_equal(got_bits, want_bits)
+
+    back = bits_to_radix(bits, ck, base_bits=3)
+    np.testing.assert_array_equal(decrypt_radix(back, sk.lv0, base_bits=3), xs)
+
+    up = shift_digits(a, 1, base_bits=3)
+    np.testing.assert_array_equal(
+        decrypt_radix(up, sk.lv0, base_bits=3), (xs * 8) % 512)
+    down = shift_digits(a, -1, base_bits=3)
+    np.testing.assert_array_equal(
+        decrypt_radix(down, sk.lv0, base_bits=3), xs // 8)
+
+
+def test_typed_api_casts(mkeys, rng):
+    """FheUintRadix.to_bits -> FheUint ops -> FheUint.to_radix round trip."""
+    from rs_tfhe_tpu.fhe import FheUint
+    sk, ck = mkeys
+    xs = rng.integers(0, 64, 3)
+    a = FheUintRadix.encrypt(jax.random.key(81), sk.lv0, xs, 2, ck, base_bits=3)
+    u = a.to_bits()
+    assert isinstance(u, FheUint) and u.width == 6
+    np.testing.assert_array_equal(u.decrypt(sk.lv0), xs)
+    # bitwise XOR in bit-land (cheap there), then cast back to radix
+    v = (u ^ 0b101010).to_radix(base_bits=3)
+    np.testing.assert_array_equal(v.decrypt(sk.lv0), xs ^ 0b101010)
+    # width not a multiple of base_bits: 4-bit -> 2 base-8 digits
+    w4 = FheUint.encrypt(jax.random.key(82), sk.lv0, xs % 16, 4, ck)
+    r = w4.to_radix(base_bits=3)
+    assert r.num_digits == 2
+    np.testing.assert_array_equal(r.decrypt(sk.lv0), xs % 16)
