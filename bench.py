@@ -94,14 +94,24 @@ def measure(pname: str, batch: int, iters: int) -> dict:
     log(f"{iters} chained iters: {per_iter * 1e3:.1f} ms each")
     gates_per_sec = batch / per_iter
 
-    # single-gate (batch 1) latency: chained so each gate consumes the last
+    # single-gate (batch 1) latency: gates chained INSIDE one jit (each
+    # consumes the previous output) so the measurement is the gate's
+    # steady-state device latency, not the per-dispatch tunnel round-trip
+    # (10 separate dispatches measured 44 ms where the device time is 12 ms)
     a1, b1 = a[:1], b[:1]
-    cur = a1
-    cur = jax.block_until_ready(batch_gate("nand", cur, b1, ck))  # compile
     lat_iters = 10
+
+    @jax.jit
+    def chained_gates(x, y, key):
+        # key passed as an ARGUMENT: a closure-captured CloudKey would be
+        # inlined as HLO constants (NOTES-PERF: HTTP 413 on remote compile)
+        for _ in range(lat_iters):
+            x = batch_gate("nand", x, y, key)
+        return x
+
+    _ = jax.block_until_ready(chained_gates(a1, b1, ck))  # compile
     t0 = time.perf_counter()
-    for _ in range(lat_iters):
-        cur = batch_gate("nand", cur, b1, ck)
+    cur = chained_gates(a1, b1, ck)
     _ = np.asarray(jax.device_get(cur[0, -1]))
     latency_ms = (time.perf_counter() - t0) / lat_iters * 1e3
     log(f"single-gate latency: {latency_ms:.1f} ms")

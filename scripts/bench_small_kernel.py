@@ -53,13 +53,16 @@ def time_rotation(batch, params, packed, vecs, drop, iters: int = 10):
     a_til = jnp.asarray(rng.integers(0, 2 * n1, (n0, batch)), jnp.int32)
     tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
     fb = select_fb(batch, n1)
+    pad = (-batch) % fb  # the kernel requires batch % fb == 0 (the gate
+    b_p = jnp.pad(b_til, (0, pad))  # path pads identically)
+    a_p = jnp.pad(a_til, ((0, 0), (0, pad)))
 
     @jax.jit
     def chain_tile(tv0):
         acc = None
         tvv = tv0
         for _ in range(iters):
-            acc = fused_blind_rotate(b_til, a_til, tvv, packed, params,
+            acc = fused_blind_rotate(b_p, a_p, tvv, packed, params,
                                      drop_limbs=drop, fb=fb)
             tvv = acc[0] ^ jnp.uint32(1)
         return acc
@@ -86,12 +89,24 @@ def time_rotation(batch, params, packed, vecs, drop, iters: int = 10):
 
 
 def time_gate(a, b, ck, iters: int = 20) -> float:
-    """ms per chained single gate at the CURRENT config.step_impl."""
-    cur = jax.block_until_ready(gates.nand(a, b, ck))  # compile
+    """ms per chained single gate at the CURRENT config.step_impl.
+
+    Gates chain INSIDE one jit: separate dispatches through the device
+    tunnel measure per-dispatch round-trips (~3-4x the device time at
+    B=1), not gate latency. A fresh jit wrapper per call re-reads
+    config.step_impl at trace time; ck rides as an argument so the
+    CloudKey is not inlined as HLO constants (NOTES-PERF)."""
+
+    @jax.jit
+    def chained(x, y, key):
+        for _ in range(iters):
+            x = gates.nand(x, y, key)
+        return x
+
+    _ = jax.block_until_ready(chained(a, b, ck))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        cur = gates.nand(cur, b, ck)
-    _ = np.asarray(jax.device_get(cur[0, -1]))
+    r = chained(a, b, ck)
+    _ = np.asarray(jax.device_get(r[0, -1]))
     return (time.perf_counter() - t0) / iters * 1e3
 
 

@@ -9,9 +9,12 @@ Usage: python scripts/diag_keygen.py [fused|split] [PARAMS]
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -6,6 +6,8 @@
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax
+# `python scripts/x.py` puts scripts/ (not the repo root) on sys.path
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
