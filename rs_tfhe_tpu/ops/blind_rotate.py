@@ -17,9 +17,12 @@ byte-packed limb layout the fused kernel streams (CloudKey.bsk_packed);
 per-step operands are expanded on the fly (in VMEM for the fused kernel).
 
 Step implementations (config.step_impl; all bit-exact): "xla" — the MXU
-circulant path above; "nussbaumer" — transform path, 2.7x better single-gate
-latency (ops/nussbaumer.py); "pallas"/"fused" — Mosaic kernels
-(ops/pallas_*.py); "auto" — Nussbaumer below batch 64 on TPU, else xla.
+circulant path above; "nussbaumer" — transform path (ops/nussbaumer.py);
+"pallas"/"fused"/"fused_small"/"fused_wide" — Mosaic kernels
+(ops/pallas_*.py). "auto" on TPU: the commuted small-batch kernel at
+B <= 2 (precomputed bsk_vecs), the step-major wide kernel when its VMEM
+shapes are eligible, else the per-tile fused kernel; Nussbaumer/XLA cover
+shapes the kernels reject and every non-TPU platform.
 """
 
 from __future__ import annotations
@@ -112,14 +115,22 @@ def blind_rotate(
 
     on_tpu = jax.devices()[0].platform == "tpu"
 
-    if config.step_impl == "fused_small":
-        # Commuted Hankel-operand kernel (VERDICT r2 item 4 / NOTES-PERF
-        # round-3 queue 2): at tiny batches the per-step cost is VPU-build
-        # bound, and building the circulant from the DIGITS (2L packed
-        # planes) instead of the BSK (2*2L planes) halves the build. The
-        # BSK side is flat contraction vectors — CloudKey precomputes them
-        # (bsk_vecs); built on the fly only for raw-bsk callers. Explicit
-        # opt-in until a measured win flips the auto heuristic.
+    # Commuted Hankel-operand kernel (VERDICT r2 item 4 / NOTES-PERF round-3
+    # queue 2): at tiny batches the per-step cost is VPU-build bound, and
+    # building the circulant from the DIGITS (2L packed planes) instead of
+    # the BSK (2*2L planes) halves the build. The BSK side is flat
+    # contraction vectors — CloudKey precomputes them (bsk_vecs); built on
+    # the fly only for raw-bsk callers under the explicit override. Auto
+    # routes B <= 2 through it (measured v5e FAST gate: 4.7 ms vs 8.5 at
+    # B=1, 6.9 vs ~7-11 at B=2; the per-ciphertext serial build loses from
+    # B=4: 11.0 vs 7.1 — scripts/bench_small_kernel.py).
+    use_small = config.step_impl == "fused_small" or (
+        config.step_impl == "auto"
+        and on_tpu
+        and batch <= 2
+        and bsk_vecs is not None
+    )
+    if use_small:
         from .pallas_blind_rotate import (
             fused_blind_rotate_small,
             prepare_bsk_vecs,
@@ -127,9 +138,14 @@ def blind_rotate(
         )
 
         if not small_eligible(params, batch, testvec.ndim):
-            raise ValueError("small blind rotate: shape/params not eligible")
-        if not on_tpu:
+            if config.step_impl == "fused_small":
+                raise ValueError(
+                    "small blind rotate: shape/params not eligible"
+                )
+            use_small = False
+        elif not on_tpu:
             raise ValueError("small blind rotate: Mosaic kernel requires TPU")
+    if use_small:
         drop = params.bsk_round_bits // 8
         if bsk_vecs is None:
             bsk_vecs = prepare_bsk_vecs(bsk, drop_limbs=drop)

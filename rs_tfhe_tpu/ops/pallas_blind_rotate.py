@@ -388,24 +388,30 @@ def _kernel_small(
     lhs = bskvec_ref[0]  # [2*n_q, 2L*2N] i8
     # byte-pack up to 4 digit planes per int32 word and zero-pad to 2N,
     # for EVERY (ciphertext, word) at once — one joint roll chain
-    # (log2(128) large VPU ops) instead of batch*n_words small chains
-    words = []
-    for b in range(batch):
-        for w_i in range(n_words):
-            js = range(4 * w_i, min(4 * w_i + 4, j_rows))
-            word = jnp.zeros((n,), dtype=jnp.uint32)
-            for slot, j in enumerate(js):
-                byte = jax.lax.bitcast_convert_type(
-                    planes[j][0][b, :], jnp.uint8
-                ).astype(jnp.uint32)
-                word = word | (byte << jnp.uint32(8 * slot))
-            words.append(jnp.concatenate([
-                jax.lax.bitcast_convert_type(word, jnp.int32),
-                jnp.zeros((n,), jnp.int32),
-            ]))
-    wch_all = _build_w_packed_all(jnp.stack(words), 128)
+    # (log2(128) large VPU ops) instead of batch*n_words small chains.
+    # The pack runs whole-batch 2-D (no per-row extracts: a 1-row slice at
+    # sublane offset b >= 1 crashes Mosaic layout inference on (1, 128)-
+    # tiled values — measured at batch = 2).
+    word_rows = []  # n_words x [batch, 2N] i32
+    for w_i in range(n_words):
+        js = range(4 * w_i, min(4 * w_i + 4, j_rows))
+        word = jnp.zeros((batch, n), dtype=jnp.uint32)
+        for slot, j in enumerate(js):
+            byte = jax.lax.bitcast_convert_type(
+                planes[j][0], jnp.uint8
+            ).astype(jnp.uint32)
+            word = word | (byte << jnp.uint32(8 * slot))
+        word_rows.append(jnp.concatenate([
+            jax.lax.bitcast_convert_type(word, jnp.int32),
+            jnp.zeros((batch, n), jnp.int32),
+        ], axis=1))
+    # [batch, n_words, 2N] -> row index b*n_words + w_i (leading dims are
+    # untiled, so the merge is layout-free)
+    stacked = jnp.stack(word_rows, axis=1).reshape(batch * n_words, two_n)
+    wch_all = _build_w_packed_all(stacked, 128)
     # [batch*n_words, 128, 2N] i32
 
+    uaccs = [[None, None] for _ in range(batch)]
     for b in range(batch):
         for w_i in range(n_words):
             js = range(4 * w_i, min(4 * w_i + 4, j_rows))
@@ -438,7 +444,16 @@ def _kernel_small(
                         jax.lax.bitcast_convert_type(row, jnp.uint32)
                         << jnp.uint32(shift)
                     )
-            out_ref[pl.ds(b, 1), o, :] = acc[o][b:b + 1, :] + uacc
+            uaccs[b][o] = uacc
+    # single full-block write per poly (offset row writes into out_ref hit
+    # the same Mosaic layout-inference crash as the build's row extracts)
+    for o in range(2):
+        full = (
+            uaccs[0][o]
+            if batch == 1
+            else jnp.concatenate([uaccs[b][o] for b in range(batch)], axis=0)
+        )
+        out_ref[:, o, :] = acc[o] + full
 
 
 def prepare_bsk_vecs(bsk: jax.Array, drop_limbs: int = 0) -> jax.Array:
@@ -522,10 +537,11 @@ def fused_blind_rotate_small(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 2, n), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((j_rows * 2 * n, n), jnp.int8)],
-        compiler_params=(
-            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-            if n > 1024
-            else None
+        # Unconditional: batch >= 8 exceeds the default 16 MB scoped-VMEM cap
+        # even at N=1024 (measured 16.52 MB), and the raised cap is harmless
+        # at every measured shape (NOTES-PERF N=4096 section).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(testvec, b_til[None, :, None], a_til[:, :, None], bsk_vecs)
