@@ -22,8 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from .params import TORUS_BITS, TfheParams
-from .tlwe import lwe_encrypt_torus
-from .torus import f64_to_torus, split_u32_limbs
+from .tlwe import lwe_encrypt_rows_limbs
+from .torus import f64_to_torus, lane_pad
 from .trgsw import trgsw_encrypt_torus
 
 
@@ -50,7 +50,8 @@ class CloudKey:
     """Evaluation key bundle (reference key.rs:51-75)."""
 
     testvec: jax.Array  # uint32 [2, N]
-    ksk_limbs: jax.Array  # int8 [N*IKS_T*BASE, (n0+1)*4]
+    #: planar-padded limb table (tlwe.lwe_encrypt_rows_limbs layout)
+    ksk_limbs: jax.Array  # int8 [N*IKS_T*BASE, 4*lane_pad(n0+1)]
     bsk: jax.Array  # uint32 [n0, 2L, 2, N]
     params: TfheParams = dataclasses.field(metadata=dict(static=True))
     #: byte-packed limb form for the fused blind-rotation kernel — THE BSK
@@ -84,7 +85,8 @@ class CloudKey:
         return CloudKey(
             testvec=gen_testvec(params),
             ksk_limbs=jnp.zeros(
-                (params.n1 * g.iks_t * params.ks_base, (params.n0 + 1) * 4),
+                (params.n1 * g.iks_t * params.ks_base,
+                 4 * lane_pad(params.n0 + 1)),
                 dtype=jnp.int8,
             ),
             bsk=jnp.zeros((params.n0, 2 * g.l, 2, params.n1), dtype=jnp.uint32),
@@ -141,13 +143,14 @@ def gen_key_switching_key(key: jax.Array, sk: SecretKey) -> jax.Array:
     mu = (ks[None, None, :] * sk.lv1[:, None, None]) << shifts[None, :, None]
     mu_flat = mu.reshape(n1 * t * base)
 
-    rows = lwe_encrypt_torus(key, sk.lv0, mu_flat, params.ksk_alpha)
-    # zero the k == 0 rows (reference skips them: key.rs:109-111)
-    k_idx = jnp.tile(jnp.arange(base), n1 * t)
-    rows = jnp.where((k_idx == 0)[:, None], jnp.uint32(0), rows)
-
-    limbs = split_u32_limbs(rows)  # [rows, n0+1, 4]
-    return limbs.reshape(rows.shape[0], rows.shape[1] * 4)
+    # zero the k == 0 rows (reference skips them: key.rs:109-111); the
+    # encrypt+zero+limb-split pipeline runs as a scan over row chunks —
+    # bit-identical to the monolithic form, but without the 300+ s XLA
+    # compile wall its [36864, 700] fusions hit on TPU (tlwe.py).
+    zero_mask = jnp.tile(jnp.arange(base), n1 * t) == 0
+    return lwe_encrypt_rows_limbs(
+        key, sk.lv0, mu_flat, params.ksk_alpha, zero_mask=zero_mask
+    )
 
 
 def gen_bootstrapping_key(key: jax.Array, sk: SecretKey) -> jax.Array:

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..params import TORUS_BITS, TfheParams
-from ..torus import recombine_limb_products
+from ..torus import recombine_planar
 from .poly import exact_dot_i8
 
 
@@ -32,13 +32,17 @@ def digit_select_sum(
     """Sum of the table rows selected by the digits of `a` (uint32, exact).
 
     a:           uint32 [..., n_in] mask coefficients to decompose
-    table_limbs: int8 [n_in * t * 2^basebit, out_width * 4]
+    table_limbs: int8 [n_in * t * 2^basebit, 4 * P] in the planar-padded
+                 layout of tlwe.lwe_encrypt_rows_limbs (P = lane_pad of the
+                 row width; padding columns are zero, so they contract and
+                 recombine to zero and are sliced off at the end)
     Returns uint32 [..., out_width]. Exposed separately so tensor-parallel
     key switching can `psum` partial sums over a sharded table
     (parallel/sharded.py).
     """
     base = 1 << basebit
     n_in = a.shape[-1]
+    p = table_limbs.shape[-1] // 4
 
     prec_offset = jnp.uint32(1 << (TORUS_BITS - (1 + basebit * t)))
     a_bar = a + prec_offset
@@ -52,9 +56,9 @@ def digit_select_sum(
     ).astype(jnp.int8)  # [..., n_in, t, base]
     lhs = onehot.reshape(*a.shape[:-1], n_in * t * base)
 
-    acc = exact_dot_i8(lhs, table_limbs)  # [..., out_width*4] int32
-    acc = acc.reshape(*acc.shape[:-1], out_width, 4)[..., None, :]
-    return recombine_limb_products(acc)  # [..., out_width] uint32
+    acc = exact_dot_i8(lhs, table_limbs)  # [..., 4*P] int32
+    acc = acc.reshape(*acc.shape[:-1], 4, p)
+    return recombine_planar(acc)[..., :out_width]  # [..., out_width] uint32
 
 
 def digit_select_subtract(
@@ -81,7 +85,8 @@ def identity_key_switch(
 ) -> jax.Array:
     """LWE lv1 [..., N+1] -> LWE lv0 [..., n0+1] (reference trgsw.rs:332-360).
 
-    ksk_limbs: int8 [N*IKS_T*BASE, (n0+1)*4] (see key.gen_key_switching_key).
+    ksk_limbs: int8 [N*IKS_T*BASE, 4*lane_pad(n0+1)] planar-padded
+    (see key.gen_key_switching_key / tlwe.lwe_encrypt_rows_limbs).
     """
     g = params.trgsw_lv1
     n1 = params.n1

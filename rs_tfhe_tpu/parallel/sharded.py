@@ -247,7 +247,8 @@ def _tp_blind_rotate(ct, testvec, bsk_local, params, tp: int, impl: str = "auto"
 def _tp_key_switch(lv1, ksk_local, params, tp: int):
     """Key switch lv1->lv0 with the KSK's N-coefficient axis sharded.
 
-    lv1: uint32 [B_loc, N+1]; ksk_local: int8 [(N/tp)*t*base, (n0+1)*4].
+    lv1: uint32 [B_loc, N+1]; ksk_local: int8 [(N/tp)*t*base, 4*lane_pad(n0+1)]
+    (planar-padded, tlwe.lwe_encrypt_rows_limbs).
     """
     g = params.trgsw_lv1
     n1, out_w = params.n1, params.n0 + 1
@@ -255,7 +256,7 @@ def _tp_key_switch(lv1, ksk_local, params, tp: int):
     col0 = jax.lax.axis_index(MODEL_AXIS) * cols_local
 
     a_local = jax.lax.dynamic_slice_in_dim(lv1[..., :n1], col0, cols_local, axis=-1)
-    ksk_flat = ksk_local.reshape(-1, ksk_local.shape[-1])  # [(N/tp)*t*base, out*4]
+    ksk_flat = ksk_local.reshape(-1, ksk_local.shape[-1])  # [(N/tp)*t*base, 4*P]
     partial_sum = digit_select_sum(a_local, ksk_flat, g.iks_t, g.basebit, out_w)
     subtrahend = jax.lax.psum(partial_sum, MODEL_AXIS)
 

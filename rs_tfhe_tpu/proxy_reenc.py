@@ -21,8 +21,13 @@ from .key import SecretKey
 from .ops.keyswitch import digit_select_subtract
 from .ops.poly import exact_dot_i8
 from .params import TORUS_BITS, TfheParams
-from .tlwe import lwe_encrypt_torus
-from .torus import f64_to_torus, gaussian_torus, recombine_limb_products, split_u32_limbs
+from .tlwe import lwe_encrypt_rows_limbs, lwe_encrypt_torus
+from .torus import (
+    f64_to_torus,
+    gaussian_torus,
+    planar_limb_table,
+    recombine_planar,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -32,7 +37,8 @@ class PublicKeyLv0:
     exact subset-sum matmuls (reference proxy_reenc.rs:95-153)."""
 
     encryptions: jax.Array  # uint32 [size, n0+1]
-    limbs: jax.Array  # int8 [size, (n0+1)*4]
+    #: planar-padded layout (tlwe.lwe_encrypt_rows_limbs contract)
+    limbs: jax.Array  # int8 [size, 4*lane_pad(n0+1)]
     params: TfheParams = dataclasses.field(metadata=dict(static=True))
 
     @staticmethod
@@ -47,8 +53,9 @@ class PublicKeyLv0:
         alpha = params.tlwe_lv0.alpha if alpha is None else alpha
         zeros = jnp.zeros((size,), dtype=jnp.uint32)
         enc = lwe_encrypt_torus(key, sk_lv0, zeros, alpha)
-        limbs = split_u32_limbs(enc).reshape(size, -1)
-        return PublicKeyLv0(encryptions=enc, limbs=limbs, params=params)
+        return PublicKeyLv0(
+            encryptions=enc, limbs=planar_limb_table(enc), params=params
+        )
 
     def encrypt_torus(self, key: jax.Array, mu: jax.Array, alpha: float) -> jax.Array:
         """Public-key encrypt torus messages mu (uint32 [...]).
@@ -64,9 +71,10 @@ class PublicKeyLv0:
         coeff = jnp.where(
             include, jnp.where(sign, jnp.int8(1), jnp.int8(-1)), jnp.int8(0)
         )
-        acc = exact_dot_i8(coeff, self.limbs)  # [..., (n0+1)*4] int32
-        acc = acc.reshape(*acc.shape[:-1], self.params.n0 + 1, 4)[..., None, :]
-        combo = recombine_limb_products(acc)  # [..., n0+1] uint32
+        acc = exact_dot_i8(coeff, self.limbs)  # [..., 4*P] int32
+        p = self.limbs.shape[-1] // 4
+        acc = acc.reshape(*acc.shape[:-1], 4, p)
+        combo = recombine_planar(acc)[..., : self.params.n0 + 1]
         noise = gaussian_torus(k_noise, alpha, mu.shape)
         return combo.at[..., -1].add(mu + noise)
 
@@ -83,7 +91,8 @@ class ProxyReencryptionKey:
     """Decomposed encryptions of the source key under the target key
     (reference proxy_reenc.rs:224-421), stored limb-split for the MXU."""
 
-    table_limbs: jax.Array  # int8 [n0 * t * base, (n0+1)*4]
+    #: planar-padded layout (tlwe.lwe_encrypt_rows_limbs contract)
+    table_limbs: jax.Array  # int8 [n0 * t * base, 4*lane_pad(n0+1)]
     basebit: int = dataclasses.field(metadata=dict(static=True))
     t: int = dataclasses.field(metadata=dict(static=True))
     params: TfheParams = dataclasses.field(metadata=dict(static=True))
@@ -112,9 +121,9 @@ def _finish_key(rows: jax.Array, params: TfheParams, basebit: int, t: int):
     base = 1 << basebit
     k_idx = jnp.tile(jnp.arange(base), params.n0 * t)
     rows = jnp.where((k_idx == 0)[:, None], jnp.uint32(0), rows)
-    limbs = split_u32_limbs(rows).reshape(rows.shape[0], -1)
     return ProxyReencryptionKey(
-        table_limbs=limbs, basebit=basebit, t=t, params=params
+        table_limbs=planar_limb_table(rows), basebit=basebit, t=t,
+        params=params
     )
 
 
@@ -133,8 +142,15 @@ def new_symmetric(
     basebit = g.basebit if basebit is None else basebit
     t = g.iks_t if t is None else t
     mu = _reenc_plaintexts(key_from, params, basebit, t)
-    rows = lwe_encrypt_torus(key, key_to, mu, alpha)
-    return _finish_key(rows, params, basebit, t)
+    # chunked-scan pipeline: bit-identical to lwe_encrypt_torus + zero +
+    # limb split, but compiles in seconds at production table shapes
+    # (tlwe.lwe_encrypt_rows_limbs)
+    base = 1 << basebit
+    zero_mask = jnp.tile(jnp.arange(base), params.n0 * t) == 0
+    limbs = lwe_encrypt_rows_limbs(key, key_to, mu, alpha, zero_mask=zero_mask)
+    return ProxyReencryptionKey(
+        table_limbs=limbs, basebit=basebit, t=t, params=params
+    )
 
 
 def new_asymmetric(

@@ -17,7 +17,10 @@ from .torus import (
     TORUS_DTYPE,
     f64_to_torus,
     gaussian_torus,
+    lane_pad,
     neg_torus,
+    split_u32_limbs_planar,
+    threefry2x32_bits,
     uniform_torus,
 )
 
@@ -36,6 +39,73 @@ def lwe_encrypt_torus(
     noise = gaussian_torus(k_noise, alpha, mu.shape)
     b = mu + noise + jnp.sum(a * s, axis=-1, dtype=TORUS_DTYPE)
     return jnp.concatenate([a, b[..., None]], axis=-1)
+
+
+def lwe_encrypt_rows_limbs(
+    key: jax.Array,
+    s: jax.Array,
+    mu: jax.Array,
+    alpha: float,
+    zero_mask: jax.Array | None = None,
+    row_chunk: int = 1024,
+) -> jax.Array:
+    """Encrypt a 1-D batch of torus messages into a PLANAR-PADDED limb table.
+
+    Returns int8 [R, 4*P] with P = lane_pad(n+1): column q*P + c holds
+    balanced limb q of row coefficient c (mask coefficients c < n, body at
+    c = n, zero padding above). The encryption itself — mask bits, noise,
+    body — is bit-identical to ``lwe_encrypt_torus(key, s, mu, alpha)``
+    (optionally with `zero_mask` rows zeroed); only the storage layout of
+    the limb split differs from split_u32_limbs' interleaved [..., c*4+q].
+
+    Why this shape: the table is consumed by one-hot MXU contractions
+    (ops/keyswitch.digit_select_sum) where extra zero columns are free, and
+    the *aligned planar* build is what keeps XLA compile time sane on TPU.
+    The monolithic interleaved pipeline at KSK shapes [36864, 700] costs
+    minutes of compile (scripts/diag_ksk_compile.py: mask 69 s, dot+concat
+    387 s, limb interleave 289 s — the whole of the round-2 "368 s cold
+    keygen" wall), and even scan-chunked it keeps paying for the misaligned
+    701-wide concat (60 s) and the [cs, 701, 4] -> [cs, 2804] lane
+    relayout (236 s). This version generates the mask per chunk by
+    counter-exact threefry (torus.threefry2x32_bits), places the body by a
+    one-hot multiply-add instead of a concat, and stacks limb PLANES on a
+    major axis — measured 6.5 s cold compile on the same hardware
+    (scan_padded probe), a 45x reduction, with the very same encrypted
+    values. Serves the key-switching key (key.gen_key_switching_key) and
+    proxy re-keys (proxy_reenc).
+    """
+    n = s.shape[0]
+    (rows,) = mu.shape
+    if rows * n >= 1 << 32:
+        raise ValueError("row table exceeds the 32-bit threefry counter range")
+    p = lane_pad(n + 1)
+    k_mask, k_noise = jax.random.split(key)
+    noise = gaussian_torus(k_noise, alpha, (rows,))
+    if zero_mask is None:
+        zero_mask = jnp.zeros((rows,), bool)
+    # largest divisor of `rows` <= row_chunk (compile-time constant)
+    cs = next(c for c in range(min(row_chunk, rows), 0, -1) if rows % c == 0)
+    steps = rows // cs
+    xs = (
+        mu.reshape(steps, cs),
+        noise.reshape(steps, cs),
+        zero_mask.reshape(steps, cs),
+    )
+    body_col = (jax.lax.iota(jnp.uint32, p) == n).astype(TORUS_DTYPE)
+    s_pad = jnp.pad(s, (0, p - n))
+
+    def step(start, x):
+        mu_c, noise_c, zero_c = x
+        bits = threefry2x32_bits(k_mask, start, cs * n).reshape(cs, n)
+        a = jnp.pad(bits, ((0, 0), (0, p - n)))
+        b = mu_c + noise_c + jnp.sum(a * s_pad, axis=-1, dtype=TORUS_DTYPE)
+        row = a + b[:, None] * body_col[None, :]
+        row = jnp.where(zero_c[:, None], jnp.uint32(0), row)
+        limbs = split_u32_limbs_planar(row).reshape(cs, 4 * p)
+        return start + jnp.uint32(cs * n), limbs
+
+    _, limbs = jax.lax.scan(step, jnp.uint32(0), xs)
+    return limbs.reshape(rows, 4 * p)
 
 
 def lwe_encrypt_bool(

@@ -71,6 +71,41 @@ def uniform_torus(key: jax.Array, shape) -> jax.Array:
     return jax.random.bits(key, shape, dtype=jnp.uint32)
 
 
+_THREEFRY_ROT = ((13, 15, 26, 6), (17, 29, 16, 24))
+
+
+def threefry2x32_bits(key: jax.Array, start, count: int) -> jax.Array:
+    """uint32 random bits for flat counter range [start, start+count).
+
+    Bit-identical to ``jax.random.bits(key, shape, uint32).ravel()[start:
+    start+count]`` under JAX's default partitionable threefry PRNG, whose
+    per-element 64-bit counter is just the flat index (hi word 0 for sizes
+    < 2^32) and whose output is ``o1 ^ o2`` of the Threefry-2x32 block
+    (Salmon et al., Random123; jax._src.prng._threefry_random_bits_
+    partitionable). Verified against jax.random.bits in tests/test_tlwe.py.
+
+    Exists so key generation can produce huge uniform masks inside a
+    lax.scan chunk by chunk: one monolithic random.bits fusion at KSK
+    shapes ([36864, 700]) takes 69 s to compile on the axon TPU backend
+    (scripts/diag_ksk_compile.py), the chunked scan compiles in seconds
+    and produces the very same bits. `start` may be a traced scalar (scan
+    carry); the caller must keep the total size below 2^32.
+    """
+    kd = jax.random.key_data(key)
+    k1, k2 = kd[0], kd[1]
+    ks = (k1, k2, k1 ^ k2 ^ jnp.uint32(0x1BD11BDA))
+    x1 = jnp.broadcast_to(ks[0], (count,))
+    x2 = jnp.uint32(start) + jax.lax.iota(jnp.uint32, count) + ks[1]
+    for i in range(5):
+        for r in _THREEFRY_ROT[i % 2]:
+            x1 = x1 + x2
+            x2 = (x2 << jnp.uint32(r)) | (x2 >> jnp.uint32(32 - r))
+            x2 = x2 ^ x1
+        x1 = x1 + ks[(i + 1) % 3]
+        x2 = x2 + ks[(i + 2) % 3] + jnp.uint32(i + 1)
+    return x1 ^ x2
+
+
 # ---------------------------------------------------------------------------
 # Balanced signed 8-bit limb splitting (device-side, integer-exact)
 # ---------------------------------------------------------------------------
@@ -102,6 +137,70 @@ def split_u32_limbs(x: jax.Array) -> jax.Array:
     """
     t = jax.lax.bitcast_convert_type(x, jnp.int32)
     return _balanced_limbs_i32(t, 4).astype(jnp.int8)
+
+
+def split_u32_limbs_planar(x: jax.Array) -> jax.Array:
+    """uint32 [..., W] -> int8 [..., 4, W] balanced limbs, PLANAR layout.
+
+    Same limbs as split_u32_limbs but stacked on a new MAJOR axis (limb
+    planes) instead of interleaved into the minor axis. On the TPU backend
+    the interleaving reshape [..., W, 4] -> [..., 4W] is a lane relayout
+    that costs minutes of XLA compile time at key-table widths
+    (scripts/diag_ksk_compile.py: 236 s inside a scan at W=701); the planar
+    stack is four independent elementwise planes and compiles in seconds.
+    Consumers contract the flattened [..., 4W] table and recombine with
+    recombine_planar.
+    """
+    t = jax.lax.bitcast_convert_type(x, jnp.int32)
+    limbs = []
+    cur = t
+    for _ in range(3):
+        r = jnp.bitwise_and(cur, 255)
+        carry = (r >= 128).astype(jnp.int32)
+        limbs.append(r - 256 * carry)
+        cur = jnp.right_shift(cur, 8) + carry
+    limbs.append(cur)
+    return jnp.stack(limbs, axis=-2).astype(jnp.int8)  # [..., 4, W]
+
+
+def recombine_planar(acc: jax.Array) -> jax.Array:
+    """int32 [..., 4, W] planar limb sums -> uint32 [..., W] mod 2^32.
+
+    acc[..., q, :] is an exact integer combination of limb-q planes
+    (split_u32_limbs_planar); the result is sum_q acc_q * 2^(8q) with
+    int32 values bitcast to uint32 (two's complement keeps the modular
+    arithmetic exact).
+    """
+    cu = jax.lax.bitcast_convert_type(acc, TORUS_DTYPE)
+    out = cu[..., 0, :]
+    for q in range(1, 4):
+        out = out + (cu[..., q, :] << jnp.uint32(8 * q))
+    return out
+
+
+def lane_pad(n: int, lanes: int = 128) -> int:
+    """Round n up to a lane multiple (TPU minor-axis tile width)."""
+    return -(-n // lanes) * lanes
+
+
+def planar_limb_table(rows: jax.Array, row_chunk: int = 1024) -> jax.Array:
+    """uint32 [R, W] rows -> int8 [R, 4*lane_pad(W)] planar-padded limbs.
+
+    Chunked over rows with lax.scan so the limb planes never form one
+    giant fusion (the monolithic interleaved split costs minutes of XLA
+    compile at key-table shapes on TPU — see lwe_encrypt_rows_limbs).
+    Same layout contract as that function's output.
+    """
+    r, w = rows.shape
+    p = lane_pad(w)
+    cs = next(c for c in range(min(row_chunk, r), 0, -1) if r % c == 0)
+
+    def step(_, chunk):
+        padded = jnp.pad(chunk, ((0, 0), (0, p - w)))
+        return None, split_u32_limbs_planar(padded).reshape(cs, 4 * p)
+
+    _, limbs = jax.lax.scan(step, None, rows.reshape(r // cs, cs, w))
+    return limbs.reshape(r, 4 * p)
 
 
 def split_digit_limbs(d: jax.Array, num_limbs: int) -> jax.Array:

@@ -18,7 +18,9 @@ import numpy as np
 from ..key import CloudKey, SecretKey
 from ..params import TfheParams, TlweParams, TrgswParams, TrlweParams
 
-_FORMAT_VERSION = 1
+#: v2: ksk_limbs moved from interleaved [rows, (n0+1)*4] to planar-padded
+#: [rows, 4*lane_pad(n0+1)] (tlwe.lwe_encrypt_rows_limbs layout)
+_FORMAT_VERSION = 2
 
 
 def params_to_dict(params: TfheParams) -> dict:

@@ -8,8 +8,16 @@ vectors are reproducible on any backend (tests force CPU).
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# force CPU (the axon TPU plugin overrides JAX_PLATFORMS): the vectors are
+# bit-exact on every backend and CPU compiles TEST_TINY in seconds
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 

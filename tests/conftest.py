@@ -20,9 +20,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+# NO persistent compilation cache on CPU: this jaxlib's XLA:CPU AOT cache
+# loader is unsafe on this host — it logs "Target machine feature
+# +prefer-no-gather is not supported on the host machine ... could lead to
+# execution errors such as SIGILL" (cpu_aot_loader.cc:210) on every load,
+# and one specific executable reproducibly SEGFAULTS the suite inside
+# backend.deserialize_executable (jax compilation_cache.py:238, observed
+# 3x at tests/test_radix_compare.py in-suite, 2026-08-17/18 — even with a
+# freshly written cache, so this is a load-path bug, not corruption).
+# The TPU (axon) cache is unaffected; bench/scripts keep using it.
+jax.config.update("jax_compilation_cache_dir", None)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

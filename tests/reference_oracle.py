@@ -222,11 +222,13 @@ def mux(a, b, c, testvec, bsk, ksk_rows, params, centered, neg=neg_ref,
 
 
 def ksk_rows_from_limbs(ksk_limbs: np.ndarray, n0: int) -> np.ndarray:
-    """Rebuild uint32 KSK rows [rows, n0+1] from the int8 limb-split matrix
-    the CloudKey stores ([rows, (n0+1)*4], key.gen_key_switching_key)."""
+    """Rebuild uint32 KSK rows [rows, n0+1] from the int8 limb matrix the
+    CloudKey stores — planar-padded layout [rows, 4*lane_pad(n0+1)], column
+    q*P + c (key.gen_key_switching_key / tlwe.lwe_encrypt_rows_limbs)."""
     rows = ksk_limbs.shape[0]
-    l = ksk_limbs.astype(np.int64).reshape(rows, n0 + 1, 4)
+    p = ksk_limbs.shape[1] // 4
+    l = ksk_limbs.astype(np.int64).reshape(rows, 4, p)[:, :, : n0 + 1]
     acc = np.zeros((rows, n0 + 1), dtype=np.uint64)
     for q in range(4):
-        acc += (l[..., q] << (8 * q)).astype(np.uint64)
+        acc += (l[:, q, :] << (8 * q)).astype(np.uint64)
     return acc.astype(np.uint32)

@@ -91,13 +91,15 @@ def test_native_key_switch_matches_jax(sk, ck, rng):
     )[0]
     jax_out = np.asarray(jax_ks(jnp.asarray(ct)[None], ck.ksk_limbs, p))[0]
 
-    # reconstruct u32 KSK from the stored limbs (exact: limbs are a bijection)
+    # reconstruct u32 KSK from the stored limbs (exact: limbs are a
+    # bijection; planar-padded layout [rows, 4*P], column q*P + c)
+    pw = ck.ksk_limbs.shape[1] // 4
     limbs = np.asarray(ck.ksk_limbs, dtype=np.int64).reshape(
-        p.n1 * g.iks_t * (1 << g.basebit), p.n0 + 1, 4
-    )
-    ksk_u32 = np.zeros(limbs.shape[:2], dtype=np.uint32)
+        p.n1 * g.iks_t * (1 << g.basebit), 4, pw
+    )[:, :, : p.n0 + 1]
+    ksk_u32 = np.zeros((limbs.shape[0], p.n0 + 1), dtype=np.uint32)
     for q in range(4):
-        ksk_u32 += (limbs[..., q].astype(np.uint32)) << (8 * q)
+        ksk_u32 += (limbs[:, q, :].astype(np.uint32)) << (8 * q)
     ksk_u32 = ksk_u32.reshape(p.n1, g.iks_t, 1 << g.basebit, p.n0 + 1)
 
     got = native.identity_key_switch(np.asarray(ct), ksk_u32, p.n0, g.iks_t, g.basebit)

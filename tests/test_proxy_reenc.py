@@ -67,7 +67,10 @@ def test_key_shapes(tiny, sk, sk_dirty):
     g = tiny.trgsw_lv1
     assert rk.base == 1 << g.basebit
     assert rk.t == g.iks_t
-    assert rk.table_limbs.shape == (tiny.n0 * g.iks_t * rk.base, (tiny.n0 + 1) * 4)
+    from rs_tfhe_tpu.torus import lane_pad
+    assert rk.table_limbs.shape == (
+        tiny.n0 * g.iks_t * rk.base, 4 * lane_pad(tiny.n0 + 1)
+    )
 
 
 def test_custom_params(tiny, sk, sk_dirty, rng):

@@ -77,3 +77,57 @@ def test_lwe_message_roundtrip(tiny, sk, rng):
     )
     dec = tlwe.lwe_decrypt_message(ct, sk.lv0, modulus)
     assert np.array_equal(dec, np.asarray(msgs))
+
+
+def test_threefry_chunked_bits_match_jax(rng):
+    """torus.threefry2x32_bits reproduces jax.random.bits exactly.
+
+    The chunked-keygen pipeline (lwe_encrypt_rows_limbs) depends on this
+    counter-exact equivalence; it is what keeps the scan-chunked key tables
+    bit-identical to the monolithic formulation (and the golden vectors
+    stable) while dodging the axon backend's 300+ s compile wall.
+    """
+    from rs_tfhe_tpu.torus import threefry2x32_bits
+
+    for seed, (r, c) in [(0, (12, 10)), (42, (7, 13)), (9, (36, 700))]:
+        key = jax.random.key(seed)
+        direct = jax.random.bits(key, (r, c), dtype=jnp.uint32).ravel()
+        whole = threefry2x32_bits(key, 0, r * c)
+        np.testing.assert_array_equal(np.asarray(whole), np.asarray(direct))
+        # arbitrary offset/length windows
+        for start, count in [(0, 7), (5, 64), (r * c - 9, 9)]:
+            win = threefry2x32_bits(key, start, count)
+            np.testing.assert_array_equal(
+                np.asarray(win), np.asarray(direct[start:start + count])
+            )
+
+
+def test_encrypt_rows_limbs_matches_monolithic(tiny, sk, rng):
+    """Scan-chunked planar row encryption encodes exactly the rows that the
+    monolithic lwe_encrypt_torus produces (same mask bits, noise, body)."""
+    from rs_tfhe_tpu.torus import lane_pad
+
+    rows = 360  # not a multiple of the default chunk; exercises divisor pick
+    n = int(sk.lv0.shape[0])
+    pw = lane_pad(n + 1)
+    mu = jnp.asarray(rng.integers(0, 1 << 32, rows, dtype=np.uint32))
+    zero_mask = jnp.asarray(rng.integers(0, 4, rows) == 0)
+    key = jax.random.key(123)
+    alpha = tiny.ksk_alpha
+
+    ref = tlwe.lwe_encrypt_torus(key, sk.lv0, mu, alpha)
+    ref = np.asarray(jnp.where(zero_mask[:, None], jnp.uint32(0), ref))
+
+    for chunk in (1024, 36, 7):
+        got = tlwe.lwe_encrypt_rows_limbs(
+            key, sk.lv0, mu, alpha, zero_mask=zero_mask, row_chunk=chunk
+        )
+        assert got.shape == (rows, 4 * pw)
+        l = np.asarray(got, dtype=np.int64).reshape(rows, 4, pw)
+        # padding columns are zero in every limb plane
+        np.testing.assert_array_equal(l[:, :, n + 1:], 0)
+        # planar limbs recombine to the reference rows mod 2^32
+        acc = np.zeros((rows, n + 1), dtype=np.uint32)
+        for q in range(4):
+            acc += (l[:, q, : n + 1].astype(np.uint32)) << np.uint32(8 * q)
+        np.testing.assert_array_equal(acc, ref)
