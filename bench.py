@@ -96,25 +96,42 @@ def measure(pname: str, batch: int, iters: int) -> dict:
 
     # single-gate (batch 1) latency: gates chained INSIDE one jit (each
     # consumes the previous output) so the measurement is the gate's
-    # steady-state device latency, not the per-dispatch tunnel round-trip
-    # (10 separate dispatches measured 44 ms where the device time is 12 ms)
+    # steady-state device latency. Two chain lengths, slope = (t_long -
+    # t_short) / (n_long - n_short): cancels the per-dispatch tunnel
+    # round-trip (~40 ms — 10 separate dispatches measured 44 ms/gate where
+    # the device time is 12 ms). Min over repeats kills tunnel hiccups
+    # (single-shot timings occasionally read 10-100x high).
     a1, b1 = a[:1], b[:1]
-    lat_iters = 10
+    n_short, n_long = 5, 25
 
-    @jax.jit
-    def chained_gates(x, y, key):
-        # key passed as an ARGUMENT: a closure-captured CloudKey would be
-        # inlined as HLO constants (NOTES-PERF: HTTP 413 on remote compile)
-        for _ in range(lat_iters):
-            x = batch_gate("nand", x, y, key)
-        return x
+    def make_chain(n):
+        @jax.jit
+        def chained_gates(x, y, key):
+            # key passed as an ARGUMENT: a closure-captured CloudKey would
+            # be inlined as HLO constants (NOTES-PERF: HTTP 413 on compile)
+            for _ in range(n):
+                x = batch_gate("nand", x, y, key)
+            return x
 
-    _ = jax.block_until_ready(chained_gates(a1, b1, ck))  # compile
-    t0 = time.perf_counter()
-    cur = chained_gates(a1, b1, ck)
-    _ = np.asarray(jax.device_get(cur[0, -1]))
-    latency_ms = (time.perf_counter() - t0) / lat_iters * 1e3
-    log(f"single-gate latency: {latency_ms:.1f} ms")
+        return chained_gates
+
+    def min_time(fn, repeats=4):
+        _ = jax.block_until_ready(fn(a1, b1, ck))  # compile + warm
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            cur = fn(a1, b1, ck)
+            _ = np.asarray(jax.device_get(cur[0, -1]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short = min_time(make_chain(n_short))
+    t_long = min_time(make_chain(n_long))
+    latency_ms = (t_long - t_short) / (n_long - n_short) * 1e3
+    log(
+        f"single-gate latency: {latency_ms:.1f} ms "
+        f"(chains {n_short}/{n_long}: {t_short * 1e3:.1f}/{t_long * 1e3:.1f} ms)"
+    )
 
     return {
         "gates_per_sec": round(gates_per_sec, 2),

@@ -78,6 +78,42 @@ def timeit(fn, *args, iters=3, chain=None):
     return best / iters
 
 
+def timeit_slope(fn, *args, short=5, long=25, chain=None, repeats=4):
+    """Per-iteration time from the slope between two in-jit chain lengths.
+
+    Cancels the per-dispatch tunnel round-trip (~40 ms — dominant at
+    batch-1 latency scales); min over repeats kills tunnel hiccups
+    (single-shot timings occasionally read 10-100x high)."""
+
+    def build(n):
+        @jax.jit
+        def chained(*a):
+            out = None
+            cur = a
+            for _ in range(n):
+                out = fn(*cur)
+                if chain is not None:
+                    cur = chain(out, cur)
+            return out
+
+        return chained
+
+    def min_time(chained):
+        out = chained(*args)
+        _ = np.asarray(jax.device_get(jnp.ravel(
+            out if isinstance(out, jax.Array) else out[0])[0]))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = chained(*args)
+            _ = np.asarray(jax.device_get(jnp.ravel(
+                out if isinstance(out, jax.Array) else out[0])[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (min_time(build(long)) - min_time(build(short))) / (long - short)
+
+
 def xor_into_body(out, cur):
     """Fold the WHOLE output into the next input (sum touches every
     element, so no iteration can be dead-code-eliminated)."""
@@ -115,8 +151,8 @@ def main():
 
     # --- single-gate latency (batch 1) ---
     a1, b1 = enc_pair(1)
-    dt = timeit(lambda a, b: gates.nand(a, b, ck), a1, b1, iters=5,
-                chain=xor_into_body)
+    dt = timeit_slope(lambda a, b: gates.nand(a, b, ck), a1, b1,
+                      chain=xor_into_body)
     record("gate_nand_b1_latency", dt * 1e3, "ms")
 
     # --- gate throughput sweep ---
