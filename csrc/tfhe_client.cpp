@@ -194,4 +194,97 @@ void identity_key_switch(const uint32_t *ct_lv1, const uint32_t *ksk,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Multi-value message encoding (reference tlwe.rs:84-126): messages live at
+// msg/(2*modulus) on the torus; decryption rounds the phase to the nearest
+// message. The scale constant matches utils.rs:9-12 exactly
+// (trunc(frac * 2^32) with truncation toward zero).
+// ---------------------------------------------------------------------------
+
+static inline uint32_t torus_scale(int32_t message_modulus) {
+  double frac = fmod(1.0 / (2.0 * (double)message_modulus), 1.0);
+  return (uint32_t)(int64_t)(frac * 4294967296.0);
+}
+
+void lwe_encrypt_message_batch(uint64_t seed, const uint32_t *s,
+                               const uint32_t *msg, int32_t message_modulus,
+                               double alpha, uint32_t *out, int32_t batch,
+                               int32_t n) {
+  const uint32_t scale = torus_scale(message_modulus);
+  rng_state st;
+  rng_seed(&st, seed);
+  for (int32_t r = 0; r < batch; r++) {
+    uint32_t *row = out + (size_t)r * (n + 1);
+    uint32_t dot = 0;
+    for (int32_t i = 0; i < n; i++) {
+      row[i] = rng_u32(&st);
+      dot += row[i] * s[i];
+    }
+    const uint32_t mu = (msg[r] % (uint32_t)message_modulus) * scale;
+    row[n] = mu + gaussian_torus(&st, alpha) + dot;
+  }
+}
+
+void lwe_decrypt_message_batch(const uint32_t *ct, const uint32_t *s,
+                               int32_t message_modulus, uint32_t *msg,
+                               int32_t batch, int32_t n) {
+  const double scale = 1.0 / (2.0 * (double)message_modulus);
+  for (int32_t r = 0; r < batch; r++) {
+    const uint32_t *row = ct + (size_t)r * (n + 1);
+    uint32_t dot = 0;
+    for (int32_t i = 0; i < n; i++) dot += row[i] * s[i];
+    const double phase = (double)(row[n] - dot) / 4294967296.0;
+    msg[r] =
+        (uint32_t)((int64_t)(phase / scale + 0.5) % (int64_t)message_modulus);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// TRLWE client operations (reference trlwe.rs:30-81): ring-LWE ciphertexts
+// [2, N] (mask polynomial a, body b = mu + noise + a (*) s). The mask-key
+// product runs through the exact negacyclic schoolbook above — zero rounding,
+// same convention as the JAX path (trlwe.py).
+// ---------------------------------------------------------------------------
+
+void trlwe_encrypt_batch(uint64_t seed, const uint32_t *s1,
+                         const uint32_t *mu, double alpha, uint32_t *out,
+                         int32_t batch, int32_t n) {
+  rng_state st;
+  rng_seed(&st, seed);
+  for (int32_t r = 0; r < batch; r++) {
+    uint32_t *a = out + (size_t)r * 2 * n;
+    uint32_t *b = a + n;
+    for (int32_t i = 0; i < n; i++) a[i] = rng_u32(&st);
+    negacyclic_polymul_u32(a, s1, b, n);
+    const uint32_t *m = mu + (size_t)r * n;
+    for (int32_t i = 0; i < n; i++)
+      b[i] += m[i] + gaussian_torus(&st, alpha);
+  }
+}
+
+void trlwe_phase_batch(const uint32_t *ct, const uint32_t *s1,
+                       uint32_t *phase, int32_t batch, int32_t n) {
+  for (int32_t r = 0; r < batch; r++) {
+    const uint32_t *a = ct + (size_t)r * 2 * n;
+    const uint32_t *b = a + n;
+    uint32_t *p = phase + (size_t)r * n;
+    negacyclic_polymul_u32(a, s1, p, n);
+    for (int32_t i = 0; i < n; i++) p[i] = b[i] - p[i];
+  }
+}
+
+// Sample extraction TRLWE -> lv1 LWE at coefficient k (reference
+// trlwe.rs:106-120; exact negation replaces the reference's MAX - x):
+// p[i] = a[(k - i) mod* 2N] with negacyclic sign, body = b[k].
+void trlwe_sample_extract(const uint32_t *ct, uint32_t *out, int32_t n,
+                          int32_t k) {
+  const uint32_t *a = ct;
+  const uint32_t *b = ct + n;
+  for (int32_t i = 0; i < n; i++) {
+    int32_t idx = ((k - i) % (2 * n) + 2 * n) % (2 * n);
+    out[i] = idx < n ? a[idx] : (uint32_t)0 - a[idx - n];
+  }
+  out[n] = b[k];
+}
+
 }  // extern "C"

@@ -61,6 +61,18 @@ def _load():
         lib.identity_key_switch.argtypes = [
             u32p, u32p, u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32]
+        lib.lwe_encrypt_message_batch.argtypes = [
+            ctypes.c_uint64, u32p, u32p, ctypes.c_int32, ctypes.c_double,
+            u32p, ctypes.c_int32, ctypes.c_int32]
+        lib.lwe_decrypt_message_batch.argtypes = [
+            u32p, u32p, ctypes.c_int32, u32p, ctypes.c_int32, ctypes.c_int32]
+        lib.trlwe_encrypt_batch.argtypes = [
+            ctypes.c_uint64, u32p, u32p, ctypes.c_double, u32p,
+            ctypes.c_int32, ctypes.c_int32]
+        lib.trlwe_phase_batch.argtypes = [
+            u32p, u32p, u32p, ctypes.c_int32, ctypes.c_int32]
+        lib.trlwe_sample_extract.argtypes = [
+            u32p, u32p, ctypes.c_int32, ctypes.c_int32]
         lib.circuit_levelize.argtypes = [i32p] * 5 + [ctypes.c_int32] * 3 + [i32p]
         lib.circuit_levelize.restype = ctypes.c_int32
         lib.circuit_plan.argtypes = (
@@ -130,6 +142,65 @@ def lwe_decrypt_bool(ct, s) -> np.ndarray:
     )
     res = out.astype(bool)
     return res if ct.ndim > 1 else res[0]
+
+
+def lwe_encrypt_message(
+    seed: int, s, msg, message_modulus: int, alpha: float
+) -> np.ndarray:
+    """Multi-value LWE messages at msg/(2*modulus) (reference tlwe.rs:84-98);
+    returns uint32 [batch, n+1]."""
+    s, msg = _u32(s), np.atleast_1d(_u32(msg))
+    n, batch = s.shape[0], msg.shape[0]
+    out = np.empty((batch, n + 1), dtype=np.uint32)
+    _load().lwe_encrypt_message_batch(
+        seed, _ptr(s), _ptr(msg), message_modulus, alpha, _ptr(out), batch, n
+    )
+    return out
+
+
+def lwe_decrypt_message(ct, s, message_modulus: int) -> np.ndarray:
+    """Round the phase to the nearest message (reference tlwe.rs:111-126)."""
+    ct, s = _u32(ct), _u32(s)
+    ct2 = np.atleast_2d(ct)
+    out = np.empty(ct2.shape[0], dtype=np.uint32)
+    _load().lwe_decrypt_message_batch(
+        _ptr(ct2), _ptr(s), message_modulus, _ptr(out), ct2.shape[0],
+        s.shape[0],
+    )
+    return out if ct.ndim > 1 else out[0]
+
+
+def trlwe_encrypt(seed: int, s1, mu, alpha: float) -> np.ndarray:
+    """Encrypt torus polynomials: mu uint32 [batch, N] (or [N]); returns
+    uint32 [batch, 2, N] (mask, body) — reference trlwe.rs:30-52."""
+    s1 = _u32(s1)
+    mu = _u32(mu)
+    mu2 = np.atleast_2d(mu)
+    n, batch = s1.shape[0], mu2.shape[0]
+    out = np.empty((batch, 2, n), dtype=np.uint32)
+    _load().trlwe_encrypt_batch(seed, _ptr(s1), _ptr(mu2), alpha, _ptr(out),
+                                batch, n)
+    return out if mu.ndim > 1 else out[0]
+
+
+def trlwe_phase(ct, s1) -> np.ndarray:
+    """b - a (*) s per ciphertext: uint32 [batch, N]."""
+    ct, s1 = _u32(ct), _u32(s1)
+    ct3 = ct.reshape(-1, 2, s1.shape[0])
+    out = np.empty((ct3.shape[0], s1.shape[0]), dtype=np.uint32)
+    _load().trlwe_phase_batch(_ptr(ct3), _ptr(s1), _ptr(out), ct3.shape[0],
+                              s1.shape[0])
+    return out.reshape(ct.shape[:-2] + (s1.shape[0],))
+
+
+def trlwe_sample_extract(ct, k: int = 0) -> np.ndarray:
+    """TRLWE [2, N] -> lv1 LWE [N+1] extracting coefficient k (exact
+    negation; reference trlwe.rs:106-120)."""
+    ct = _u32(ct)
+    n = ct.shape[-1]
+    out = np.empty(n + 1, dtype=np.uint32)
+    _load().trlwe_sample_extract(_ptr(ct), _ptr(out), n, int(k))
+    return out
 
 
 def gadget_decompose(x, l: int, bgbit: int, offset: int) -> np.ndarray:

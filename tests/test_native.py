@@ -104,3 +104,47 @@ def test_native_key_switch_matches_jax(sk, ck, rng):
 
     got = native.identity_key_switch(np.asarray(ct), ksk_u32, p.n0, g.iks_t, g.basebit)
     np.testing.assert_array_equal(got, jax_out)
+
+
+def test_native_trlwe_encrypt_phase_roundtrip(sk, rng):
+    """Native TRLWE encryption decrypts in JAX (and native phase agrees
+    bit-for-bit with the JAX phase on the same ciphertext)."""
+    from rs_tfhe_tpu.trlwe import trlwe_phase
+
+    n = sk.params.n1
+    mu = ((rng.integers(0, 2, (3, n), dtype=np.uint32)) << np.uint32(29))
+    s1 = np.asarray(sk.lv1)
+    ct = native.trlwe_encrypt(99, s1, mu, sk.params.trlwe_lv1.alpha)
+    ph_jax = np.asarray(trlwe_phase(jnp.asarray(ct), sk.lv1))
+    ph_nat = native.trlwe_phase(ct, s1)
+    np.testing.assert_array_equal(ph_nat, ph_jax)
+    # message recovered: round phase to the nearest multiple of 1/8
+    got = ((ph_jax.astype(np.int64) + (1 << 28)) >> 29) & 7
+    np.testing.assert_array_equal(got, (mu >> np.uint32(29)) & 7)
+
+
+def test_native_sample_extract_matches_jax(rng):
+    from rs_tfhe_tpu.ops.extract import sample_extract
+
+    n = 64
+    ct = rng.integers(0, 1 << 32, (2, n), dtype=np.uint32)
+    for k in [0, 1, n // 2, n - 1]:
+        got = native.trlwe_sample_extract(ct, k)
+        exp = np.asarray(sample_extract(jnp.asarray(ct), k))
+        np.testing.assert_array_equal(got, exp, err_msg=f"k={k}")
+
+
+def test_native_message_encrypt_decrypt(sk):
+    from rs_tfhe_tpu.tlwe import lwe_decrypt_message
+
+    m_mod = 8
+    msgs = np.array([0, 1, 5, 7, 3, 2], dtype=np.uint32)
+    s = np.asarray(sk.lv0)
+    ct = native.lwe_encrypt_message(
+        77, s, msgs, m_mod, sk.params.tlwe_lv0.alpha
+    )
+    # JAX decryptor agrees with the native one, and both recover the message
+    np.testing.assert_array_equal(
+        np.asarray(lwe_decrypt_message(jnp.asarray(ct), sk.lv0, m_mod)), msgs
+    )
+    np.testing.assert_array_equal(native.lwe_decrypt_message(ct, s, m_mod), msgs)
