@@ -322,6 +322,24 @@ def main():
                     ckb, iters=1)
         record("mul16x16_b16_NIBBLE", dt * 1e3 / 16, "ms/mul")
 
+        # apples-to-apples at the literal SECURITY_128_BIT the baseline
+        # names (L=3, Bg=2^6, reference params.rs:379-404) — the FAST
+        # hardness argument stands beside this, not instead of it
+        ps = ALL_SECURITY_SETS["SECURITY_128_BIT"]
+        sks = SecretKey.generate(jax.random.key(60), ps)
+        cks = CloudKey.generate(jax.random.key(61), sks)
+        bits = rng.integers(0, 2, 4096).astype(bool)
+        sa = lwe_encrypt_bool(jax.random.key(62), sks.lv0, jnp.asarray(bits),
+                              ps.tlwe_lv0.alpha)
+        sb = lwe_encrypt_bool(jax.random.key(63), sks.lv0,
+                              jnp.asarray(~bits), ps.tlwe_lv0.alpha)
+        dt = timeit(lambda x, y: gates.nand(x, y, cks), sa, sb, iters=3,
+                    chain=xor_into_body)
+        record("gate_nand_b4096_STRICT", 4096 / dt, "gates/s")
+        dt = timeit_slope(lambda x, y: gates.nand(x, y, cks),
+                          sa[:1], sb[:1], chain=xor_into_body)
+        record("gate_nand_b1_latency_STRICT", dt * 1e3, "ms")
+
     out = {
         "device": str(dev),
         "params": pname,
