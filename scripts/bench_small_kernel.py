@@ -104,10 +104,13 @@ def time_gate(a, b, ck, iters: int = 20) -> float:
         return x
 
     _ = jax.block_until_ready(chained(a, b, ck))  # compile
-    t0 = time.perf_counter()
-    r = chained(a, b, ck)
-    _ = np.asarray(jax.device_get(r[0, -1]))
-    return (time.perf_counter() - t0) / iters * 1e3
+    best = float("inf")
+    for _ in range(3):  # min over repeats: tunnel hiccups read 3-100x high
+        t0 = time.perf_counter()
+        r = chained(a, b, ck)
+        _ = np.asarray(jax.device_get(r[0, -1]))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3
 
 
 def main() -> None:

@@ -29,6 +29,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import rs_tfhe_tpu as tfhe
+import rs_tfhe_tpu.config as C
 from rs_tfhe_tpu import gates, tlwe
 from rs_tfhe_tpu.gates import _nand_lin
 from rs_tfhe_tpu.ops.blind_rotate import blind_rotate
@@ -37,19 +38,28 @@ from rs_tfhe_tpu.ops.keyswitch import identity_key_switch
 from rs_tfhe_tpu.params import ALL_SECURITY_SETS
 
 
-def timeit(fn, *args, iters=20):
+def timeit(fn, *args, iters=20, repeats=3):
+    """Min over repeats: single-shot timings through the tunnel
+    occasionally read 10-100x high (hiccups)."""
     r = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    r = fn(*args)
-    _ = np.asarray(jax.device_get(jnp.ravel(r)[0]))
-    return (time.perf_counter() - t0) / iters * 1e3
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        r = fn(*args)
+        _ = np.asarray(jax.device_get(jnp.ravel(r)[0]))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3
 
 
 def main() -> None:
     pname = os.environ.get("RS_TFHE_BENCH_PARAMS", "SECURITY_128_BIT_FAST")
+    # Force a step implementation (auto/fused/fused_small/..) to diagnose
+    # one routing branch in isolation.
+    C.config.step_impl = os.environ.get("RS_TFHE_STEP_IMPL", "auto")
     params = ALL_SECURITY_SETS[pname]
     batches = [int(x) for x in sys.argv[1:]] or [2]
-    print(f"device={jax.devices()[0]} params={pname}", file=sys.stderr)
+    print(f"device={jax.devices()[0]} params={pname} "
+          f"step_impl={C.config.step_impl}", file=sys.stderr)
 
     sk = tfhe.SecretKey.generate(jax.random.key(42), params)
     ck = tfhe.CloudKey.generate(jax.random.key(7), sk)

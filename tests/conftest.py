@@ -12,9 +12,18 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap XLA:CPU codegen at AVX2. This (virtualized) Xeon advertises
+# AVX-512/AMX feature bits, and XLA:CPU's host detection also emits
+# "+prefer-no-gather" (the slow-gather/Downfall hint) which the loader then
+# reports as unsupported; in-suite we have observed both SIGILL warnings
+# and hard SEGFAULTs inside backend_compile_and_load / deserialize_executable
+# (see note below). Restricting to AVX2 keeps codegen off the AVX-512
+# gather paths entirely. Tests are TEST_TINY-sized; the throughput loss is
+# irrelevant.
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
@@ -40,6 +49,22 @@ from rs_tfhe_tpu.key import CloudKey, SecretKey  # noqa: E402
 
 #: Canonical batch size used across tests to minimize recompilation.
 BATCH = 8
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    XLA:CPU on this host segfaults while LOADING a freshly compiled (or
+    cache-loaded) executable once enough executables have accumulated in
+    the process — reproducibly at tests/test_radix_compare.py when run
+    after ~115 other tests, never in isolation, with or without the
+    persistent cache, before and after capping codegen at AVX2. Dropping
+    compiled programs at module boundaries keeps the loader below
+    whatever placement limit it is tripping; the recompiles are
+    TEST_TINY-sized (seconds)."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
