@@ -195,6 +195,67 @@ void identity_key_switch(const uint32_t *ct_lv1, const uint32_t *ksk,
 }
 
 // ---------------------------------------------------------------------------
+// Threefry-2x32 counter PRNG (Salmon et al., Random123), matching JAX's
+// default partitionable PRNG bit-for-bit: per-element counter = (0, idx),
+// output = x1 ^ x2 after 5 x 4 rounds (rs_tfhe_tpu/torus.py
+// threefry2x32_bits_raw, verified cross-runtime in tests/test_native.py).
+// This is the mask stream of SEEDED ciphertexts: the client and the TPU
+// server re-derive identical masks from a 2-word seed.
+// ---------------------------------------------------------------------------
+
+static const int kThreefryRot[2][4] = {{13, 15, 26, 6}, {17, 29, 16, 24}};
+
+void threefry_bits(uint32_t k1, uint32_t k2, uint32_t start, uint32_t count,
+                   uint32_t *out) {
+  const uint32_t k3 = k1 ^ k2 ^ 0x1BD11BDAu;
+  const uint32_t ks[3] = {k1, k2, k3};
+  for (uint32_t i = 0; i < count; i++) {
+    uint32_t x1 = ks[0];
+    uint32_t x2 = start + i + ks[1];
+    for (int round = 0; round < 5; round++) {
+      for (int j = 0; j < 4; j++) {
+        const int r = kThreefryRot[round % 2][j];
+        x1 += x2;
+        x2 = (x2 << r) | (x2 >> (32 - r));
+        x2 ^= x1;
+      }
+      x1 += ks[(round + 1) % 3];
+      x2 += ks[(round + 2) % 3] + (uint32_t)(round + 1);
+    }
+    out[i] = x1 ^ x2;
+  }
+}
+
+// Expand seeded ciphertexts (seed + bodies) to full [batch, n+1] rows:
+// mask row r = threefry_bits(seed, r*n, n).
+void lwe_expand_seeded(uint32_t k1, uint32_t k2, const uint32_t *bodies,
+                       uint32_t *out, int32_t batch, int32_t n) {
+  for (int32_t r = 0; r < batch; r++) {
+    uint32_t *row = out + (size_t)r * (n + 1);
+    threefry_bits(k1, k2, (uint32_t)r * (uint32_t)n, (uint32_t)n, row);
+    row[n] = bodies[r];
+  }
+}
+
+// Seeded client encryption: masks from the threefry seed (so the server
+// can expand), fresh gaussian noise from the xoshiro stream.
+// bodies[r] = mu[r] + noise + <mask_r, s>.
+void lwe_encrypt_seeded(uint32_t k1, uint32_t k2, uint64_t noise_seed,
+                        const uint32_t *s, const uint32_t *mu, double alpha,
+                        uint32_t *bodies, int32_t batch, int32_t n,
+                        uint32_t *mask_scratch) {
+  rng_state st;
+  rng_seed(&st, noise_seed);
+  for (int32_t r = 0; r < batch; r++) {
+    threefry_bits(k1, k2, (uint32_t)r * (uint32_t)n, (uint32_t)n,
+                  mask_scratch);
+    uint32_t dot = 0;
+    for (int32_t i = 0; i < n; i++) dot += mask_scratch[i] * s[i];
+    bodies[r] = mu[r] + gaussian_torus(&st, alpha) + dot;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Multi-value message encoding (reference tlwe.rs:84-126): messages live at
 // msg/(2*modulus) on the torus; decryption rounds the phase to the nearest
 // message. The scale constant matches utils.rs:9-12 exactly

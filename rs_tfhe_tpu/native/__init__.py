@@ -61,6 +61,15 @@ def _load():
         lib.identity_key_switch.argtypes = [
             u32p, u32p, u32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32]
+        lib.threefry_bits.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, u32p]
+        lib.lwe_expand_seeded.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, u32p, u32p,
+            ctypes.c_int32, ctypes.c_int32]
+        lib.lwe_encrypt_seeded.argtypes = [
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64, u32p, u32p,
+            ctypes.c_double, u32p, ctypes.c_int32, ctypes.c_int32, u32p]
         lib.lwe_encrypt_message_batch.argtypes = [
             ctypes.c_uint64, u32p, u32p, ctypes.c_int32, ctypes.c_double,
             u32p, ctypes.c_int32, ctypes.c_int32]
@@ -142,6 +151,35 @@ def lwe_decrypt_bool(ct, s) -> np.ndarray:
     )
     res = out.astype(bool)
     return res if ct.ndim > 1 else res[0]
+
+
+def threefry_bits(k1: int, k2: int, start: int, count: int) -> np.ndarray:
+    """JAX-bit-identical threefry2x32 stream (seeded-ciphertext masks)."""
+    out = np.empty(count, dtype=np.uint32)
+    _load().threefry_bits(k1, k2, start, count, _ptr(out))
+    return out
+
+
+def lwe_expand_seeded(seed, bodies, n: int) -> np.ndarray:
+    """(seed uint32 [2], bodies uint32 [B]) -> full LWE batch [B, n+1]."""
+    seed, bodies = _u32(seed), np.atleast_1d(_u32(bodies))
+    out = np.empty((bodies.shape[0], n + 1), dtype=np.uint32)
+    _load().lwe_expand_seeded(int(seed[0]), int(seed[1]), _ptr(bodies),
+                              _ptr(out), bodies.shape[0], n)
+    return out
+
+
+def lwe_encrypt_seeded(seed, noise_seed: int, s, mu, alpha: float) -> np.ndarray:
+    """Seeded (compressed) client encryption: masks re-derivable from the
+    2-word threefry seed, so only bodies travel. Returns uint32 [B]."""
+    seed, s, mu = _u32(seed), _u32(s), np.atleast_1d(_u32(mu))
+    n, batch = s.shape[0], mu.shape[0]
+    bodies = np.empty(batch, dtype=np.uint32)
+    scratch = np.empty(n, dtype=np.uint32)
+    _load().lwe_encrypt_seeded(int(seed[0]), int(seed[1]), noise_seed,
+                               _ptr(s), _ptr(mu), alpha, _ptr(bodies),
+                               batch, n, _ptr(scratch))
+    return bodies
 
 
 def lwe_encrypt_message(

@@ -21,6 +21,7 @@ from .torus import (
     neg_torus,
     split_u32_limbs_planar,
     threefry2x32_bits,
+    threefry2x32_bits_raw,
     uniform_torus,
 )
 
@@ -39,6 +40,52 @@ def lwe_encrypt_torus(
     noise = gaussian_torus(k_noise, alpha, mu.shape)
     b = mu + noise + jnp.sum(a * s, axis=-1, dtype=TORUS_DTYPE)
     return jnp.concatenate([a, b[..., None]], axis=-1)
+
+
+def lwe_encrypt_torus_seeded(
+    key: jax.Array, s: jax.Array, mu: jax.Array, alpha: float
+) -> tuple[jax.Array, jax.Array]:
+    """Seeded (compressed) LWE encryption: ship 1 word per ciphertext.
+
+    The mask rows are not stored — row r is the counter-exact threefry
+    stream threefry2x32_bits(seed, r*n, n) — so the wire format is just
+    (seed: uint32 [2], bodies: uint32 [B]): an (n+1)x transport/storage
+    compression (701x at the 128-bit sets). Any runtime re-derives the
+    identical masks: `lwe_expand_seeded` here, `lwe_expand_seeded` /
+    `lwe_decrypt_bool_seeded` in the native C++ client (csrc). The
+    expanded ciphertext is exactly an `lwe_encrypt_torus` sample whose
+    mask came from the threefry stream, so security is unchanged
+    (uniform mask, fresh gaussian noise); the seed must be used for ONE
+    batch only, like any nonce. No reference analogue (rs-tfhe always
+    ships full masks).
+
+    mu: uint32 [B]. Returns (seed uint32 [2], bodies uint32 [B]).
+    """
+    n = s.shape[0]
+    (batch,) = mu.shape
+    k_mask, k_noise = jax.random.split(key)
+    seed = jax.random.key_data(k_mask).astype(jnp.uint32)
+    a = threefry2x32_bits(k_mask, 0, batch * n).reshape(batch, n)
+    noise = gaussian_torus(k_noise, alpha, mu.shape)
+    b = mu + noise + jnp.sum(a * s, axis=-1, dtype=TORUS_DTYPE)
+    return seed, b
+
+
+def lwe_expand_seeded(seed: jax.Array, bodies: jax.Array, n: int) -> jax.Array:
+    """(seed uint32 [2], bodies uint32 [B]) -> full LWE batch [B, n+1]."""
+    (batch,) = bodies.shape
+    a = threefry2x32_bits_raw(seed[0], seed[1], 0, batch * n).reshape(batch, n)
+    return jnp.concatenate([a, bodies[:, None]], axis=-1)
+
+
+def lwe_encrypt_bool_seeded(
+    key: jax.Array, s: jax.Array, msg: jax.Array, alpha: float
+) -> tuple[jax.Array, jax.Array]:
+    """Seeded variant of `lwe_encrypt_bool` (+/- 1/8 encoding)."""
+    mu_true = jnp.uint32(int(f64_to_torus(0.125)))
+    mu_false = jnp.uint32(int(f64_to_torus(-0.125)))
+    mu = jnp.where(jnp.asarray(msg), mu_true, mu_false)
+    return lwe_encrypt_torus_seeded(key, s, mu, alpha)
 
 
 def lwe_encrypt_rows_limbs(

@@ -92,7 +92,15 @@ def threefry2x32_bits(key: jax.Array, start, count: int) -> jax.Array:
     carry); the caller must keep the total size below 2^32.
     """
     kd = jax.random.key_data(key)
-    k1, k2 = kd[0], kd[1]
+    return threefry2x32_bits_raw(kd[0], kd[1], start, count)
+
+
+def threefry2x32_bits_raw(k1, k2, start, count: int) -> jax.Array:
+    """`threefry2x32_bits` from the raw 2-word key data (uint32 k1, k2).
+
+    Exists so SEEDED ciphertexts can ship just (k1, k2) and have any
+    runtime — this module, or the native C++ client (csrc threefry_bits)
+    — re-derive the identical mask stream."""
     ks = (k1, k2, k1 ^ k2 ^ jnp.uint32(0x1BD11BDA))
     x1 = jnp.broadcast_to(ks[0], (count,))
     x2 = jnp.uint32(start) + jax.lax.iota(jnp.uint32, count) + ks[1]

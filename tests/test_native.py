@@ -148,3 +148,49 @@ def test_native_message_encrypt_decrypt(sk):
         np.asarray(lwe_decrypt_message(jnp.asarray(ct), sk.lv0, m_mod)), msgs
     )
     np.testing.assert_array_equal(native.lwe_decrypt_message(ct, s, m_mod), msgs)
+
+
+def test_native_threefry_matches_jax():
+    """The C++ threefry stream is bit-identical to torus.threefry2x32_bits
+    (which is itself pinned to jax.random.bits in test_tlwe)."""
+    from rs_tfhe_tpu.torus import threefry2x32_bits_raw
+
+    k1, k2, start, count = 0xDEADBEEF, 0x12345678, 1000, 257
+    got = native.threefry_bits(k1, k2, start, count)
+    exp = np.asarray(threefry2x32_bits_raw(
+        jnp.uint32(k1), jnp.uint32(k2), start, count))
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_seeded_ciphertexts_cross_runtime(sk, rng):
+    """Seeded (compressed) ciphertexts: JAX-encrypted seeds expand to the
+    SAME full ciphertexts in the native client, and native-encrypted
+    bodies decrypt in JAX after either side expands."""
+    from rs_tfhe_tpu.tlwe import (
+        lwe_decrypt_bool,
+        lwe_encrypt_bool_seeded,
+        lwe_expand_seeded,
+    )
+
+    p, s = sk.params, np.asarray(sk.lv0)
+    msgs = rng.integers(0, 2, 16).astype(bool)
+
+    # JAX encrypt -> expand on both runtimes -> identical, and decrypts
+    seed, bodies = lwe_encrypt_bool_seeded(
+        jax.random.key(5), sk.lv0, jnp.asarray(msgs), p.tlwe_lv0.alpha)
+    full_jax = np.asarray(lwe_expand_seeded(seed, bodies, p.n0))
+    full_nat = native.lwe_expand_seeded(np.asarray(seed), np.asarray(bodies), p.n0)
+    np.testing.assert_array_equal(full_jax, full_nat)
+    np.testing.assert_array_equal(
+        np.asarray(lwe_decrypt_bool(jnp.asarray(full_jax), sk.lv0)), msgs)
+
+    # native seeded encrypt -> JAX expand -> decrypts
+    mu_true = np.uint32(1 << 29)
+    mu_false = np.uint32((1 << 32) - (1 << 29))
+    mu = np.where(msgs, mu_true, mu_false).astype(np.uint32)
+    seed2 = np.array([0xAB12, 0xCD34], dtype=np.uint32)
+    bodies2 = native.lwe_encrypt_seeded(seed2, 777, s, mu, p.tlwe_lv0.alpha)
+    full2 = np.asarray(lwe_expand_seeded(
+        jnp.asarray(seed2), jnp.asarray(bodies2), p.n0))
+    np.testing.assert_array_equal(
+        np.asarray(lwe_decrypt_bool(jnp.asarray(full2), sk.lv0)), msgs)
