@@ -64,6 +64,13 @@ class CloudKey:
     #: kernel (ops/pallas_blind_rotate.prepare_bsk_vecs); derived, not
     #: serialized; None for multi-limb/odd-shape sets the kernel rejects.
     bsk_vecs: Optional[jax.Array] = None  # int8 [n0, 2*(4-drop), 2L*2N]
+    #: raw key data of the PRNG key `generate` was called with. The key
+    #: masks are pseudorandom streams derived from it, so SEEDED
+    #: serialization (utils/serialization.save_cloud_key(seeded=True))
+    #: ships only this seed + the ciphertext bodies (~9x smaller files)
+    #: and replays the masks at load. Public-randomness only — the secret
+    #: key is NOT derivable from it (noise/body already published).
+    gen_seed: Optional[jax.Array] = None  # uint32 [2]
 
     @staticmethod
     def generate(key: jax.Array, sk: SecretKey) -> "CloudKey":
@@ -75,6 +82,7 @@ class CloudKey:
             params=sk.params,
             bsk_packed=packed,
             bsk_vecs=vecs,
+            gen_seed=jax.random.key_data(key).astype(jnp.uint32),
         )
 
     @staticmethod

@@ -155,6 +155,44 @@ def lwe_encrypt_rows_limbs(
     return limbs.reshape(rows, 4 * p)
 
 
+def lwe_rows_limbs_from_bodies(
+    k_mask: jax.Array,
+    bodies: jax.Array,
+    n: int,
+    zero_mask: jax.Array | None = None,
+    row_chunk: int = 1024,
+) -> jax.Array:
+    """Rebuild an `lwe_encrypt_rows_limbs` table from its mask key + bodies.
+
+    The masks are pseudorandom (threefry stream of `k_mask` — the FIRST
+    split of the key `lwe_encrypt_rows_limbs` was called with), so a seeded
+    serialization stores only (k_mask, bodies) and replays the table here,
+    bit-identically (pinned by tests/test_serialization.py: the rebuilt
+    CloudKey pytree equals the original exactly). No secret material is
+    needed: bodies already contain mu + noise + <a, s>.
+    """
+    (rows,) = bodies.shape
+    p = lane_pad(n + 1)
+    if zero_mask is None:
+        zero_mask = jnp.zeros((rows,), bool)
+    cs = next(c for c in range(min(row_chunk, rows), 0, -1) if rows % c == 0)
+    steps = rows // cs
+    xs = (bodies.reshape(steps, cs), zero_mask.reshape(steps, cs))
+    body_col = (jax.lax.iota(jnp.uint32, p) == n).astype(TORUS_DTYPE)
+
+    def step(start, x):
+        b_c, zero_c = x
+        bits = threefry2x32_bits(k_mask, start, cs * n).reshape(cs, n)
+        a = jnp.pad(bits, ((0, 0), (0, p - n)))
+        row = a + b_c[:, None] * body_col[None, :]
+        row = jnp.where(zero_c[:, None], jnp.uint32(0), row)
+        limbs = split_u32_limbs_planar(row).reshape(cs, 4 * p)
+        return start + jnp.uint32(cs * n), limbs
+
+    _, limbs = jax.lax.scan(step, jnp.uint32(0), xs)
+    return limbs.reshape(rows, 4 * p)
+
+
 def lwe_encrypt_bool(
     key: jax.Array, s: jax.Array, msg: jax.Array, alpha: float
 ) -> jax.Array:

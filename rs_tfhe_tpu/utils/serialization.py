@@ -59,34 +59,118 @@ def load_secret_key(path) -> SecretKey:
         )
 
 
-def save_cloud_key(path, ck: CloudKey) -> None:
-    """~100 MB compressed at SECURITY_128_BIT. bsk_packed/bsk_vecs are never
-    stored — both are derived from bsk and rebuilt at load."""
+def save_cloud_key(path, ck: CloudKey, seeded: bool = False) -> None:
+    """Full: ~100 MB compressed at SECURITY_128_BIT (bsk_packed/bsk_vecs are
+    never stored — both are derived from bsk and rebuilt at load).
+
+    seeded=True stores only the generate-key seed + the ciphertext BODIES
+    (~9x smaller): key masks are pseudorandom streams replayed from the
+    seed at load (tlwe.lwe_rows_limbs_from_bodies and the BSK mask replay
+    below), bit-identical to the original — no security change, the seed
+    only ever produced public mask randomness. Requires ck.gen_seed
+    (present on generated keys; absent on no-ksk dummies)."""
+    if not seeded:
+        np.savez_compressed(
+            path,
+            version=_FORMAT_VERSION,
+            kind="cloud",
+            params=json.dumps(params_to_dict(ck.params)),
+            testvec=np.asarray(ck.testvec),
+            ksk_limbs=np.asarray(ck.ksk_limbs),
+            bsk=np.asarray(ck.bsk),
+        )
+        return
+    if ck.gen_seed is None:
+        raise ValueError("seeded save needs ck.gen_seed (a generated key)")
+    params = ck.params
+    l = params.trgsw_lv1.l
+    # KSK bodies: recombine the 4 planar int8 limb planes of column n0
+    p = _lane_pad(params.n0 + 1)
+    limbs = np.asarray(ck.ksk_limbs)
+    bodies = np.zeros(limbs.shape[0], dtype=np.uint32)
+    for q in range(4):
+        plane = limbs[:, q * p + params.n0].astype(np.int32).astype(np.uint32)
+        bodies += plane << np.uint32(8 * q)
     np.savez_compressed(
         path,
         version=_FORMAT_VERSION,
-        kind="cloud",
+        kind="cloud-seeded",
+        prng_impl="threefry2x32",
         params=json.dumps(params_to_dict(ck.params)),
-        testvec=np.asarray(ck.testvec),
-        ksk_limbs=np.asarray(ck.ksk_limbs),
-        bsk=np.asarray(ck.bsk),
+        gen_seed=np.asarray(ck.gen_seed),
+        ksk_bodies=bodies,
+        bsk_bodies=np.asarray(ck.bsk[:, :, 1, :]),
+        # gadget constants ride on mask coefficient 0 of the first L rows
+        # (trgsw.trgsw_encrypt_torus) — store those mask values verbatim
+        bsk_mask0=np.asarray(ck.bsk[:, :l, 0, 0]),
     )
+
+
+def _lane_pad(n: int, lanes: int = 128) -> int:
+    return -(-n // lanes) * lanes
+
+
+def _rebuild_seeded(z, params: TfheParams):
+    """Replay the key masks from the generate seed (save_cloud_key docs)."""
+    import jax
+
+    from ..tlwe import lwe_rows_limbs_from_bodies
+
+    if str(z["prng_impl"]) != "threefry2x32":
+        raise ValueError(f"unsupported prng_impl {z['prng_impl']}")
+    g = params.trgsw_lv1
+    key = jax.random.wrap_key_data(jnp.asarray(z["gen_seed"]))
+    k_ksk, k_bsk = jax.random.split(key)
+
+    # KSK: masks are the threefry stream of k_ksk's first split; the k = 0
+    # rows were zeroed at generation (key.gen_key_switching_key) —
+    # structural, so re-derived from params
+    k_mask_ksk, _ = jax.random.split(k_ksk)
+    zero_mask = jnp.tile(jnp.arange(params.ks_base), params.n1 * g.iks_t) == 0
+    ksk_limbs = lwe_rows_limbs_from_bodies(
+        k_mask_ksk, jnp.asarray(z["ksk_bodies"]), params.n0,
+        zero_mask=zero_mask,
+    )
+
+    # BSK: masks are uniform bits of k_bsk's first split (grid-clamped for
+    # reduced-modulus keys), with the gadget constants restored on
+    # coefficient 0 of the first L rows (stored verbatim)
+    k_mask_bsk, _ = jax.random.split(k_bsk)
+    bodies = jnp.asarray(z["bsk_bodies"])
+    a = jax.random.bits(k_mask_bsk, bodies.shape, dtype=jnp.uint32)
+    if params.bsk_round_bits > 0:
+        rb = jnp.uint32(params.bsk_round_bits)
+        a = (a >> rb) << rb
+    a = a.at[:, : g.l, 0].set(jnp.asarray(z["bsk_mask0"]))
+    bsk = jnp.stack([a, bodies], axis=2)  # [n0, 2L, 2, N]
+    return ksk_limbs, bsk
 
 
 def load_cloud_key(path) -> CloudKey:
     with np.load(path, allow_pickle=False) as z:
-        _check(z, "cloud")
+        kind = str(z["kind"])
+        _check(z, kind if kind == "cloud-seeded" else "cloud")
         params = params_from_dict(json.loads(str(z["params"])))
-        bsk = jnp.asarray(z["bsk"])
+        from ..key import gen_testvec
         from ..ops.pallas_blind_rotate import (
             prepare_bsk_limbs,
             prepare_bsk_vecs,
             small_param_ok,
         )
 
+        if kind == "cloud-seeded":
+            ksk_limbs, bsk = _rebuild_seeded(z, params)
+            testvec = gen_testvec(params)
+            gen_seed = jnp.asarray(z["gen_seed"])
+        else:
+            ksk_limbs = jnp.asarray(z["ksk_limbs"])
+            bsk = jnp.asarray(z["bsk"])
+            testvec = jnp.asarray(z["testvec"])
+            gen_seed = None
+
         return CloudKey(
-            testvec=jnp.asarray(z["testvec"]),
-            ksk_limbs=jnp.asarray(z["ksk_limbs"]),
+            testvec=testvec,
+            ksk_limbs=ksk_limbs,
             bsk=bsk,
             params=params,
             bsk_packed=prepare_bsk_limbs(bsk),
@@ -95,6 +179,7 @@ def load_cloud_key(path) -> CloudKey:
                 if small_param_ok(params)
                 else None
             ),
+            gen_seed=gen_seed,
         )
 
 

@@ -47,3 +47,50 @@ def test_kind_mismatch_rejected(sk, tmp_path):
 
     with pytest.raises(ValueError):
         load_cloud_key(p)
+
+
+def test_cloud_key_seeded_roundtrip_bit_exact(sk, ck, tmp_path):
+    """Seeded serialization stores only (generate seed, ciphertext bodies)
+    — ~9x smaller files — and the load-time mask replay reconstructs the
+    ORIGINAL CloudKey bit-for-bit (every pytree leaf equal), then works
+    end-to-end through a bootstrapped gate."""
+    path = tmp_path / "ck_seeded.npz"
+    save_cloud_key(path, ck, seeded=True)
+    ck2 = load_cloud_key(path)
+
+    np.testing.assert_array_equal(np.asarray(ck2.ksk_limbs),
+                                  np.asarray(ck.ksk_limbs))
+    np.testing.assert_array_equal(np.asarray(ck2.bsk), np.asarray(ck.bsk))
+    np.testing.assert_array_equal(np.asarray(ck2.testvec),
+                                  np.asarray(ck.testvec))
+    np.testing.assert_array_equal(np.asarray(ck2.bsk_packed),
+                                  np.asarray(ck.bsk_packed))
+    assert (ck.bsk_vecs is None) == (ck2.bsk_vecs is None)
+    if ck.bsk_vecs is not None:
+        np.testing.assert_array_equal(np.asarray(ck2.bsk_vecs),
+                                      np.asarray(ck.bsk_vecs))
+
+    # seeded file is much smaller than the full one
+    full = tmp_path / "ck_full.npz"
+    save_cloud_key(full, ck)
+    assert path.stat().st_size < 0.6 * full.stat().st_size
+
+    msgs = np.array([True, False, True])
+    a = lwe_encrypt_bool(jax.random.key(2), sk.lv0, jnp.asarray(msgs),
+                         sk.params.tlwe_lv0.alpha)
+    b = lwe_encrypt_bool(jax.random.key(3), sk.lv0, jnp.asarray(~msgs),
+                         sk.params.tlwe_lv0.alpha)
+    out = gates.nand(a, b, ck2)
+    np.testing.assert_array_equal(
+        np.asarray(lwe_decrypt_bool(out, sk.lv0)), ~(msgs & ~msgs))
+
+
+def test_seeded_save_requires_generated_key(tmp_path):
+    import pytest
+
+    from rs_tfhe_tpu.key import CloudKey
+    from rs_tfhe_tpu.params import TEST_TINY
+
+    ck = CloudKey.generate_no_ksk(TEST_TINY)
+    with pytest.raises(ValueError, match="gen_seed"):
+        save_cloud_key(tmp_path / "x.npz", ck, seeded=True)
