@@ -37,6 +37,11 @@ def parse_args(description: str, **extra_flags) -> argparse.Namespace:
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # XLA:CPU's AOT cache loader is unsafe on this class of host (it
+        # warns about +prefer-no-gather and can SIGILL/segfault loading a
+        # cached executable — see tests/conftest.py); the persistent cache
+        # is for the TPU only.
+        jax.config.update("jax_compilation_cache_dir", None)
     args.param_set = (
         tfhe.TEST_TINY if args.params == "TEST_TINY" else tfhe.ALL_SECURITY_SETS[args.params]
     )
