@@ -194,3 +194,31 @@ def test_seeded_ciphertexts_cross_runtime(sk, rng):
         jnp.asarray(seed2), jnp.asarray(bodies2), p.n0))
     np.testing.assert_array_equal(
         np.asarray(lwe_decrypt_bool(jnp.asarray(full2), sk.lv0)), msgs)
+
+
+def test_native_radix_client_jax_server(sk, ck):
+    """A pure-C++ client composes radix-integer ciphertexts from
+    lwe_encrypt_message digits; the JAX server adds them homomorphically
+    and the client decodes the digits back (base 2 at TEST_TINY)."""
+    from rs_tfhe_tpu import models
+
+    base_bits, num_digits, m_mod = 2, 2, 8
+    s = np.asarray(sk.lv0)
+    xs = np.array([3, 7, 12, 15], dtype=np.uint32)
+    ys = np.array([5, 9, 3, 15], dtype=np.uint32)
+
+    def enc(vals, seed):
+        digits = np.stack(
+            [(vals >> (base_bits * i)) & 3 for i in range(num_digits)], -1
+        ).astype(np.uint32)
+        flat = native.lwe_encrypt_message(
+            seed, s, digits.ravel(), m_mod, sk.params.tlwe_lv0.alpha
+        )
+        return jnp.asarray(flat.reshape(*digits.shape, -1))
+
+    out = models.add_radix(enc(xs, 31), enc(ys, 32), ck, base_bits)
+    digits = native.lwe_decrypt_message(
+        np.asarray(out).reshape(-1, sk.params.n0 + 1), s, m_mod
+    ).reshape(4, num_digits)
+    got = (digits[:, 0] & 3) | ((digits[:, 1] & 3) << 2)
+    np.testing.assert_array_equal(got, (xs + ys) % 16)
