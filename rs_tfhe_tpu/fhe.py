@@ -64,6 +64,26 @@ class FheBool:
         return cls(ct, ck)
 
     @classmethod
+    def encrypt_seeded(cls, key: jax.Array, sk_lv0: jax.Array, values,
+                       params) -> tuple[jax.Array, jax.Array]:
+        """Compressed client-side encryption: returns (seed uint32 [2],
+        bodies uint32 [B]) — 1 word/ciphertext on the wire instead of
+        n0+1. The server reconstructs with `FheBool.expand_seeded`."""
+        from .tlwe import lwe_encrypt_bool_seeded
+
+        return lwe_encrypt_bool_seeded(
+            key, sk_lv0, jnp.asarray(values, dtype=bool),
+            params.tlwe_lv0.alpha,
+        )
+
+    @classmethod
+    def expand_seeded(cls, seed: jax.Array, bodies: jax.Array, ck: CloudKey):
+        """Server-side: expand an `encrypt_seeded` wire batch to FheBool."""
+        from .tlwe import lwe_expand_seeded
+
+        return cls(lwe_expand_seeded(seed, bodies, ck.params.tlwe_lv0.n), ck)
+
+    @classmethod
     def trivial(cls, values, ck: CloudKey):
         """Wrap plaintext bools as noiseless ciphertexts (server-side)."""
         return cls(_trivial_bool(values, ck.params.tlwe_lv0.n), ck)

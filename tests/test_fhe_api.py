@@ -174,3 +174,18 @@ def test_fhe_repr_and_width(sk, ck):
     assert x.width == W and "FheUint4" in repr(x)
     b = FheBool.encrypt(jax.random.key(3), sk.lv0, True, ck)
     assert "FheBool" in repr(b)
+
+
+def test_fhebool_seeded_transport(sk, ck):
+    """FheBool.encrypt_seeded / expand_seeded: compressed client->server
+    wire format round-trips through a gate."""
+    import numpy as np
+
+    from rs_tfhe_tpu.fhe import FheBool
+
+    vals = np.array([True, False, True, True])
+    seed, bodies = FheBool.encrypt_seeded(
+        jax.random.key(9), sk.lv0, vals, sk.params)
+    x = FheBool.expand_seeded(seed, bodies, ck)
+    np.testing.assert_array_equal(x.decrypt(sk.lv0), vals)
+    np.testing.assert_array_equal((~x).decrypt(sk.lv0), ~vals)
