@@ -183,6 +183,35 @@ def load_cloud_key(path) -> CloudKey:
         )
 
 
+def save_reenc_key(path, rk) -> None:
+    """Persist a proxy re-encryption key (no reference analogue — rs-tfhe
+    has no persistence at all; re-keys are the natural transport item in a
+    proxy deployment: generated once by the delegator, shipped to the
+    evaluation server)."""
+    np.savez_compressed(
+        path,
+        version=_FORMAT_VERSION,
+        kind="reenc",
+        params=json.dumps(params_to_dict(rk.params)),
+        table_limbs=np.asarray(rk.table_limbs),
+        basebit=rk.basebit,
+        t=rk.t,
+    )
+
+
+def load_reenc_key(path):
+    from ..proxy_reenc import ProxyReencryptionKey
+
+    with np.load(path, allow_pickle=False) as z:
+        _check(z, "reenc")
+        return ProxyReencryptionKey(
+            table_limbs=jnp.asarray(z["table_limbs"]),
+            basebit=int(z["basebit"]),
+            t=int(z["t"]),
+            params=params_from_dict(json.loads(str(z["params"]))),
+        )
+
+
 def _check(z, kind: str) -> None:
     v = int(z["version"])
     if v != _FORMAT_VERSION:

@@ -94,3 +94,26 @@ def test_seeded_save_requires_generated_key(tmp_path):
     ck = CloudKey.generate_no_ksk(TEST_TINY)
     with pytest.raises(ValueError, match="gen_seed"):
         save_cloud_key(tmp_path / "x.npz", ck, seeded=True)
+
+
+def test_reenc_key_roundtrip_and_use(sk, sk_dirty, tmp_path):
+    """Proxy re-key persistence: saved/loaded key re-encrypts correctly."""
+    from rs_tfhe_tpu import proxy_reenc
+    from rs_tfhe_tpu.utils.serialization import load_reenc_key, save_reenc_key
+
+    p = sk.params
+    rk = proxy_reenc.new_symmetric(
+        jax.random.key(21), sk.lv0, sk_dirty.lv0, p)
+    path = tmp_path / "rk.npz"
+    save_reenc_key(path, rk)
+    rk2 = load_reenc_key(path)
+    np.testing.assert_array_equal(np.asarray(rk2.table_limbs),
+                                  np.asarray(rk.table_limbs))
+    assert (rk2.basebit, rk2.t) == (rk.basebit, rk.t)
+
+    msgs = np.array([True, False, True, False])
+    ct = lwe_encrypt_bool(jax.random.key(22), sk.lv0, jnp.asarray(msgs),
+                          p.tlwe_lv0.alpha)
+    out = proxy_reenc.reencrypt(ct, rk2)
+    np.testing.assert_array_equal(
+        np.asarray(lwe_decrypt_bool(out, sk_dirty.lv0)), msgs)
