@@ -11,6 +11,11 @@ data threads through the carry so nothing folds; scalar host read as the
 barrier; best of 2 timed runs.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import jax

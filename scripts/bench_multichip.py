@@ -29,6 +29,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # Virtual 8-device CPU mesh when no multi-chip hardware is attached: must be
 # set before importing jax.
 if "--virtual" in sys.argv or os.environ.get("JAX_PLATFORMS", "") == "cpu":

@@ -5,6 +5,11 @@ rolls, and int8<->int32 lane bitcasts. Re-test each on the current JAX
 release before committing to the round-2 kernel redesign.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import jax
 import jax.numpy as jnp
