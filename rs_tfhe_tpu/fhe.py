@@ -421,6 +421,22 @@ class FheUintRadix:
         return cls(ct, base_bits, ck)
 
     @classmethod
+    def encrypt_seeded(cls, key, sk_lv0, values, num_digits: int, params,
+                       base_bits: int = 3):
+        """Client-side compressed encryption: 1 word per digit on the wire
+        instead of n0+1 (models.arithmetic.encrypt_radix_seeded). The server
+        reconstructs with `FheUintRadix.expand_seeded`."""
+        return arithmetic.encrypt_radix_seeded(
+            key, sk_lv0, values, num_digits, params, base_bits
+        )
+
+    @classmethod
+    def expand_seeded(cls, seed, bodies, ck: CloudKey, base_bits: int = 3):
+        """Server-side: expand an `encrypt_seeded` wire batch to FheUintRadix."""
+        ct = arithmetic.expand_radix_seeded(seed, bodies, ck.params.tlwe_lv0.n)
+        return cls(ct, base_bits, ck)
+
+    @classmethod
     def trivial(cls, values, num_digits: int, ck: CloudKey, base_bits: int = 3):
         vals = np.asarray(values)
         digits = np.stack(

@@ -23,7 +23,13 @@ import numpy as np
 from ..bootstrap import bootstrap, bootstrap_with_testvec
 from ..key import CloudKey
 from ..lut.generator import Generator
-from ..tlwe import lwe_decrypt_message, lwe_encrypt_message, lwe_trivial_message
+from ..tlwe import (
+    lwe_decrypt_message,
+    lwe_encrypt_message,
+    lwe_encrypt_torus_seeded,
+    lwe_expand_seeded,
+    lwe_trivial_message,
+)
 from ..torus import f64_to_torus
 
 
@@ -41,6 +47,44 @@ def encrypt_radix(
     return lwe_encrypt_message(
         key, sk_lv0, jnp.asarray(digits), modulus, params.tlwe_lv0.alpha
     )
+
+
+def encrypt_radix_seeded(
+    key: jax.Array, sk_lv0: jax.Array, val, num_digits: int, params,
+    base_bits: int = 3,
+):
+    """Seeded (compressed) radix encryption: 1 word per DIGIT on the wire.
+
+    Same digit encoding as `encrypt_radix` (LSB first, message modulus
+    2^(base_bits+1)), but the LWE masks are replayed from a threefry
+    counter stream instead of shipped — (n0+1)x smaller transport, the
+    integer analogue of `tlwe.lwe_encrypt_bool_seeded`. Digits flatten
+    row-major onto the stream (digit d of value i is stream row i*D+d),
+    matching the native C++ client's `lwe_expand_seeded` layout.
+
+    Returns (seed uint32 [2], bodies uint32 [..., num_digits]); the server
+    reconstructs with `expand_radix_seeded`. No reference analogue
+    (rs-tfhe always ships full masks).
+    """
+    val = np.asarray(val)
+    digits = np.stack(
+        [(val >> (base_bits * i)) & ((1 << base_bits) - 1) for i in range(num_digits)],
+        axis=-1,
+    )
+    modulus = 1 << (base_bits + 1)
+    scale_t = np.uint32(f64_to_torus(1.0 / (2.0 * modulus)))
+    mu = (jnp.asarray(digits) % modulus).astype(jnp.uint32) * scale_t
+    seed, bodies = lwe_encrypt_torus_seeded(
+        key, sk_lv0, mu.reshape(-1), params.tlwe_lv0.alpha
+    )
+    return seed, bodies.reshape(mu.shape)
+
+
+def expand_radix_seeded(seed: jax.Array, bodies: jax.Array, n: int) -> jax.Array:
+    """Server-side: (seed, bodies [..., D]) -> full digit vectors [..., D, n+1]."""
+    shape = bodies.shape
+    ct = lwe_expand_seeded(seed, bodies.reshape(-1), n)
+    return ct.reshape(*shape, n + 1)
 
 
 def decrypt_radix(ct: jax.Array, sk_lv0: jax.Array, base_bits: int = 3):

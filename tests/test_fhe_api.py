@@ -189,3 +189,18 @@ def test_fhebool_seeded_transport(sk, ck):
     x = FheBool.expand_seeded(seed, bodies, ck)
     np.testing.assert_array_equal(x.decrypt(sk.lv0), vals)
     np.testing.assert_array_equal((~x).decrypt(sk.lv0), ~vals)
+
+
+def test_fhe_uint_radix_seeded_transport(sk, ck):
+    """FheUintRadix.encrypt_seeded / expand_seeded: 1 word/digit wire format
+    round-trips through radix arithmetic (server-side add on expanded cts)."""
+    base_bits, d = 2, 3
+    x_pt = np.array([42, 17])
+    y_pt = np.array([19, 33])
+    seed_x, bodies_x = FheUintRadix.encrypt_seeded(
+        jax.random.key(7), sk.lv0, x_pt, d, sk.params, base_bits)
+    assert bodies_x.shape == (2, d)  # the whole wire payload (+2-word seed)
+    x = FheUintRadix.expand_seeded(seed_x, bodies_x, ck, base_bits)
+    np.testing.assert_array_equal(x.decrypt(sk.lv0), x_pt)
+    y = FheUintRadix.encrypt(jax.random.key(8), sk.lv0, y_pt, d, ck, base_bits)
+    np.testing.assert_array_equal((x + y).decrypt(sk.lv0), (x_pt + y_pt) % 64)
