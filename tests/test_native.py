@@ -222,3 +222,39 @@ def test_native_radix_client_jax_server(sk, ck):
     ).reshape(4, num_digits)
     got = (digits[:, 0] & 3) | ((digits[:, 1] & 3) << 2)
     np.testing.assert_array_equal(got, (xs + ys) % 16)
+
+
+def test_native_seeded_radix_client_jax_server(sk, ck):
+    """Compressed radix wire, cross-runtime: a pure-C++ client seeded-encrypts
+    digit messages (1 word/digit + 2-word seed), the JAX server expands with
+    models.arithmetic.expand_radix_seeded and adds homomorphically."""
+    from rs_tfhe_tpu import models
+    from rs_tfhe_tpu.models.arithmetic import expand_radix_seeded
+    from rs_tfhe_tpu.torus import f64_to_torus
+
+    base_bits, num_digits, m_mod = 2, 2, 8
+    p, s = sk.params, np.asarray(sk.lv0)
+    xs = np.array([3, 7, 12, 15], dtype=np.uint32)
+    ys = np.array([5, 9, 3, 15], dtype=np.uint32)
+    scale = np.uint32(f64_to_torus(1.0 / (2.0 * m_mod)))
+
+    def enc_seeded(vals, k1, k2, nonce):
+        digits = np.stack(
+            [(vals >> (base_bits * i)) & 3 for i in range(num_digits)], -1
+        ).astype(np.uint32)
+        seed = np.array([k1, k2], dtype=np.uint32)
+        mu = (digits.ravel() * scale).astype(np.uint32)
+        bodies = native.lwe_encrypt_seeded(seed, nonce, s, mu, p.tlwe_lv0.alpha)
+        return expand_radix_seeded(
+            jnp.asarray(seed), jnp.asarray(bodies.reshape(digits.shape)), p.n0
+        )
+
+    out = models.add_radix(
+        enc_seeded(xs, 0x11, 0x22, 41), enc_seeded(ys, 0x33, 0x44, 42),
+        ck, base_bits,
+    )
+    digits = native.lwe_decrypt_message(
+        np.asarray(out).reshape(-1, p.n0 + 1), s, m_mod
+    ).reshape(4, num_digits)
+    got = (digits[:, 0] & 3) | ((digits[:, 1] & 3) << 2)
+    np.testing.assert_array_equal(got, (xs + ys) % 16)
