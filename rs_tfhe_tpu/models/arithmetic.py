@@ -23,6 +23,7 @@ import numpy as np
 from ..bootstrap import bootstrap, bootstrap_with_testvec
 from ..key import CloudKey
 from ..lut.generator import Generator
+from ..lut.multi_value import factor_test_vectors, multi_value_bootstrap
 from ..tlwe import (
     lwe_decrypt_message,
     lwe_encrypt_message,
@@ -97,8 +98,19 @@ def decrypt_radix(ct: jax.Array, sk_lv0: jax.Array, base_bits: int = 3):
     return val
 
 
+@lru_cache(maxsize=64)
+def _add_mv(base_bits: int, params):
+    """Factored (sum, carry) test-vector family for multi-value add."""
+    base = 1 << base_bits
+    gen = Generator(2 * base, params)
+    return factor_test_vectors([
+        gen.generate_lookup_table(lambda x: x % base).poly,
+        gen.generate_lookup_table(lambda x: x // base).poly,
+    ])
+
+
 def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3,
-              carry_in: jax.Array | None = None):
+              carry_in: jax.Array | None = None, multi_value: bool = False):
     """Digit-vector addition, 2D - 1 programmable bootstraps for D digits.
 
     a, b: uint32 [..., D, n0+1]. The linear ciphertext add produces the raw
@@ -117,10 +129,32 @@ def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3,
     carry_in: optional [..., n0+1] ciphertext added into digit 0 (the raw
     sum must stay < 2^(b+1) — a 0/1 value; sub_radix uses it for the +1 of
     the radix-complement subtraction).
+
+    multi_value=True runs the (sum, carry) pair through ONE blind rotation
+    per digit via test-vector factoring (lut.multi_value) — D rotations
+    instead of 2D - 1, decode-identical outputs. Margins: the PBS input
+    decision is unchanged (the carry's factoring norm ~1.4 is invisible
+    under the keyswitch/modswitch floor), and the sum digit's output norm
+    (~1.4 * base) still decodes at > 15 sigma at the certified sets
+    (utils.noise.lut_margin(..., mv_norm=...)). Kept opt-in because the
+    fixed-seed golden vectors (tests/vectors/) pin the default pipeline's
+    exact ciphertexts.
     """
     d = a.shape[-2]
     base = 1 << base_bits
     modulus = 2 * base
+    if multi_value:
+        mv = _add_mv(base_bits, ck.params)
+        carry = carry_in
+        outs = []
+        for i in range(d):
+            s = a[..., i, :] + b[..., i, :]
+            if carry is not None:
+                s = s + carry
+            res = multi_value_bootstrap(s, mv, ck)  # [..., 2, n0+1]
+            outs.append(res[..., 0, :])
+            carry = res[..., 1, :]
+        return jnp.stack(outs, axis=-2)
     gen = Generator(modulus, ck.params)
     lut_mod = gen.generate_lookup_table(lambda x: x % base).poly  # [2, N]
     lut_div = gen.generate_lookup_table(lambda x: x // base).poly
@@ -423,7 +457,20 @@ def _cmp_luts(base_bits: int, params):
     }
 
 
-def compare_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
+@lru_cache(maxsize=64)
+def _cmp_mv(base_bits: int, params):
+    """Factored test-vector families for multi-value compare_radix."""
+    luts = _cmp_luts(base_bits, params)
+    return {
+        "leaf": factor_test_vectors([luts["leaf_e3"], luts["leaf_e1"]]),
+        "comb": factor_test_vectors([luts["comb_e3"], luts["comb_e1"]]),
+        "leaf_bool": factor_test_vectors(list(luts["leaf_bool"])),
+        "comb_bool": factor_test_vectors(list(luts["comb_bool"])),
+    }
+
+
+def compare_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3,
+                  multi_value: bool = False):
     """Encrypted comparison of two radix digit vectors: returns the triple
     (eq, gt, lt) of boolean ciphertexts (gates/FheBool +/-1/8 encoding),
     gt meaning a > b.
@@ -442,40 +489,63 @@ def compare_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
     both at or inside add_radix's certified envelope
     (utils.noise.lut_margin(params, 2*base, 2) / (params, 16, 2)), so
     compare_radix is certified wherever add_radix is.
+
+    multi_value=True factors each stage's duplicated test vectors through
+    one blind rotation (lut.multi_value): the leaf emits (e3, e1) and the
+    final node all three booleans from a single rotation each — about half
+    the rotations, decode-identical verdicts. The factoring norms (<= 17)
+    scale only the accumulator noise, 2 orders below the modswitch floor
+    at the certified sets, so the margins above move by < 2%
+    (utils.noise.lut_margin(..., mv_norm=17) vs mv_norm=1).
     """
     d = a.shape[-2]
     luts = _cmp_luts(base_bits, ck.params)
+    mvs = _cmp_mv(base_bits, ck.params) if multi_value else None
     diff = a - b
     # + base at the modulus-2*base scale = + base/(4*base) = exactly 1/4
     diff = diff.at[..., -1].add(jnp.uint32(1 << 30))
 
-    def _three(ct, polys):
-        trip = jnp.stack([ct, ct, ct], axis=-2)
-        tvs = jnp.broadcast_to(polys, (*ct.shape[:-1], *polys.shape))
-        res = bootstrap_with_testvec(trip, tvs, ck)
+    def _three(ct, polys, mv):
+        if multi_value:
+            res = multi_value_bootstrap(ct, mv, ck)  # [..., 3, n0+1]
+        else:
+            trip = jnp.stack([ct, ct, ct], axis=-2)
+            tvs = jnp.broadcast_to(polys, (*ct.shape[:-1], *polys.shape))
+            res = bootstrap_with_testvec(trip, tvs, ck)
         return res[..., 0, :], res[..., 1, :], res[..., 2, :]
 
     if d == 1:
-        return _three(diff[..., 0, :], luts["leaf_bool"])
+        return _three(diff[..., 0, :], luts["leaf_bool"],
+                      mvs["leaf_bool"] if multi_value else None)
 
-    both = jnp.concatenate([diff, diff], axis=-2)  # [..., 2D, n0+1]
-    tvs = jnp.concatenate(
-        [
-            jnp.broadcast_to(luts["leaf_e3"], (*diff.shape[:-1], 2, luts["leaf_e3"].shape[-1])),
-            jnp.broadcast_to(luts["leaf_e1"], (*diff.shape[:-1], 2, luts["leaf_e1"].shape[-1])),
-        ],
-        axis=-3,
-    )
-    res = bootstrap_with_testvec(both, tvs, ck)
-    # (e3, e1) per digit, LSB first
-    nodes = [(res[..., i, :], res[..., d + i, :]) for i in range(d)]
+    if multi_value:
+        res = multi_value_bootstrap(diff, mvs["leaf"], ck)  # [..., D, 2, n0+1]
+        nodes = [(res[..., i, 0, :], res[..., i, 1, :]) for i in range(d)]
+    else:
+        both = jnp.concatenate([diff, diff], axis=-2)  # [..., 2D, n0+1]
+        tvs = jnp.concatenate(
+            [
+                jnp.broadcast_to(luts["leaf_e3"], (*diff.shape[:-1], 2, luts["leaf_e3"].shape[-1])),
+                jnp.broadcast_to(luts["leaf_e1"], (*diff.shape[:-1], 2, luts["leaf_e1"].shape[-1])),
+            ],
+            axis=-3,
+        )
+        res = bootstrap_with_testvec(both, tvs, ck)
+        # (e3, e1) per digit, LSB first
+        nodes = [(res[..., i, :], res[..., d + i, :]) for i in range(d)]
 
     while True:
         ws = [nodes[i + 1][0] + nodes[i][1] for i in range(0, len(nodes) - 1, 2)]
         leftover = [nodes[-1]] if len(nodes) % 2 else []
         if len(ws) == 1 and not leftover:
-            return _three(ws[0], luts["comb_bool"])
+            return _three(ws[0], luts["comb_bool"],
+                          mvs["comb_bool"] if multi_value else None)
         stack_w = jnp.stack(ws, axis=-2)
+        k = len(ws)
+        if multi_value:
+            res = multi_value_bootstrap(stack_w, mvs["comb"], ck)
+            nodes = [(res[..., i, 0, :], res[..., i, 1, :]) for i in range(k)] + leftover
+            continue
         both = jnp.concatenate([stack_w, stack_w], axis=-2)
         tvs = jnp.concatenate(
             [
@@ -485,7 +555,6 @@ def compare_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
             axis=-3,
         )
         res = bootstrap_with_testvec(both, tvs, ck)
-        k = len(ws)
         nodes = [(res[..., i, :], res[..., k + i, :]) for i in range(k)] + leftover
 
 
@@ -541,15 +610,17 @@ def select_radix(sel: jax.Array, t: jax.Array, f: jax.Array, ck: CloudKey,
     return out
 
 
-def min_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
+def min_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3,
+              multi_value: bool = False):
     """Encrypted min of two radix digit vectors (compare + select)."""
-    _, _, lt = compare_radix(a, b, ck, base_bits)
+    _, _, lt = compare_radix(a, b, ck, base_bits, multi_value=multi_value)
     return select_radix(lt, a, b, ck, base_bits)
 
 
-def max_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
+def max_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3,
+              multi_value: bool = False):
     """Encrypted max of two radix digit vectors (compare + select)."""
-    _, _, lt = compare_radix(a, b, ck, base_bits)
+    _, _, lt = compare_radix(a, b, ck, base_bits, multi_value=multi_value)
     return select_radix(lt, b, a, ck, base_bits)
 
 

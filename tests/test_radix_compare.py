@@ -62,6 +62,23 @@ def test_compare_radix_tree_depths(mkeys, rng, d):
     np.testing.assert_array_equal(_dec_bool(lt, sk), xs < ys)
 
 
+@pytest.mark.parametrize("d", [1, 2, 3, 5])
+def test_compare_radix_multi_value(mkeys, rng, d):
+    """multi_value=True (one rotation per tree node, lut.multi_value)
+    agrees with the default path on every tree shape."""
+    sk, ck = mkeys
+    hi = 1 << (3 * d)
+    xs = rng.integers(0, hi, 5)
+    ys = rng.integers(0, hi, 5)
+    ys[1] = xs[1]
+    a = encrypt_radix(jax.random.key(72), sk.lv0, xs, d, MP, base_bits=3)
+    b = encrypt_radix(jax.random.key(73), sk.lv0, ys, d, MP, base_bits=3)
+    eq, gt, lt = compare_radix(a, b, ck, base_bits=3, multi_value=True)
+    np.testing.assert_array_equal(_dec_bool(eq, sk), xs == ys)
+    np.testing.assert_array_equal(_dec_bool(gt, sk), xs > ys)
+    np.testing.assert_array_equal(_dec_bool(lt, sk), xs < ys)
+
+
 def test_select_radix(mkeys, rng):
     sk, ck = mkeys
     xs = rng.integers(0, 512, 6)
