@@ -132,6 +132,7 @@ class FheBool:
                 ),
                 if_true.base_bits,
                 self.ck,
+                if_true.multi_value,
             )
         if isinstance(if_true, FheUint):
             sel = jnp.broadcast_to(self.ct[..., None, :], if_true.bits.shape)
@@ -398,14 +399,25 @@ class FheUintRadix:
     Use `SECURITY_128_BIT_RADIX` (base_bits<=3) or `SECURITY_128_BIT_NIBBLE`
     (base_bits=4, certified p<1e-9) — see models.arithmetic.add_radix's
     margin table.
+
+    multi_value=True routes `+`, `-` and the comparison tree through the
+    multi-value bootstrap (lut.multi_value: one blind rotation per tree
+    node instead of one per test vector — about half the rotations, same
+    decoded results, margins within 2% of the default path). The flag is
+    sticky: results inherit it.
     """
 
-    __slots__ = ("digits", "base_bits", "ck")
+    __slots__ = ("digits", "base_bits", "ck", "multi_value")
 
-    def __init__(self, digits: jax.Array, base_bits: int, ck: CloudKey):
+    def __init__(self, digits: jax.Array, base_bits: int, ck: CloudKey,
+                 multi_value: bool = False):
         self.digits = digits
         self.base_bits = base_bits
         self.ck = ck
+        self.multi_value = multi_value
+
+    def _like(self, digits: jax.Array) -> "FheUintRadix":
+        return FheUintRadix(digits, self.base_bits, self.ck, self.multi_value)
 
     @property
     def num_digits(self) -> int:
@@ -414,11 +426,11 @@ class FheUintRadix:
     # -- client side ------------------------------------------------------
     @classmethod
     def encrypt(cls, key, sk_lv0, values, num_digits: int, ck: CloudKey,
-                base_bits: int = 3):
+                base_bits: int = 3, multi_value: bool = False):
         ct = arithmetic.encrypt_radix(
             key, sk_lv0, values, num_digits, ck.params, base_bits
         )
-        return cls(ct, base_bits, ck)
+        return cls(ct, base_bits, ck, multi_value)
 
     @classmethod
     def encrypt_seeded(cls, key, sk_lv0, values, num_digits: int, params,
@@ -431,10 +443,11 @@ class FheUintRadix:
         )
 
     @classmethod
-    def expand_seeded(cls, seed, bodies, ck: CloudKey, base_bits: int = 3):
+    def expand_seeded(cls, seed, bodies, ck: CloudKey, base_bits: int = 3,
+                      multi_value: bool = False):
         """Server-side: expand an `encrypt_seeded` wire batch to FheUintRadix."""
         ct = arithmetic.expand_radix_seeded(seed, bodies, ck.params.tlwe_lv0.n)
-        return cls(ct, base_bits, ck)
+        return cls(ct, base_bits, ck, multi_value)
 
     @classmethod
     def trivial(cls, values, num_digits: int, ck: CloudKey, base_bits: int = 3):
@@ -445,7 +458,7 @@ class FheUintRadix:
             axis=-1,
         )
         ct = _trivial_message(digits, 1 << (base_bits + 1), ck.params.tlwe_lv0.n)
-        return cls(ct, base_bits, ck)
+        return cls(ct, base_bits, ck)  # trivial cts carry no mv history
 
     def decrypt(self, sk_lv0: jax.Array) -> np.ndarray:
         return arithmetic.decrypt_radix(self.digits, sk_lv0, self.base_bits)
@@ -465,10 +478,9 @@ class FheUintRadix:
 
     def __add__(self, other):
         o = self._coerce(other)
-        return FheUintRadix(
-            arithmetic.add_radix(self.digits, o.digits, self.ck, self.base_bits),
-            self.base_bits,
-            self.ck,
+        return self._like(
+            arithmetic.add_radix(self.digits, o.digits, self.ck, self.base_bits,
+                                 multi_value=self.multi_value)
         )
 
     __radd__ = __add__
@@ -476,10 +488,9 @@ class FheUintRadix:
     def __sub__(self, other):
         """a - b mod base^D via the radix complement (2D PBS)."""
         o = self._coerce(other)
-        return FheUintRadix(
-            arithmetic.sub_radix(self.digits, o.digits, self.ck, self.base_bits),
-            self.base_bits,
-            self.ck,
+        return self._like(
+            arithmetic.sub_radix(self.digits, o.digits, self.ck, self.base_bits,
+                                 multi_value=self.multi_value)
         )
 
     def __rsub__(self, other):
@@ -488,20 +499,16 @@ class FheUintRadix:
     def __mul__(self, other):
         """Full-width product: result has 2D digits."""
         o = self._coerce(other)
-        return FheUintRadix(
-            arithmetic.mul_radix(self.digits, o.digits, self.ck, self.base_bits),
-            self.base_bits,
-            self.ck,
+        return self._like(
+            arithmetic.mul_radix(self.digits, o.digits, self.ck, self.base_bits)
         )
 
     __rmul__ = __mul__
 
     def apply(self, f) -> "FheUintRadix":
         """Apply a plaintext function digit-wise via one batched PBS."""
-        return FheUintRadix(
-            arithmetic.apply_lut_radix(self.digits, f, self.ck, self.base_bits),
-            self.base_bits,
-            self.ck,
+        return self._like(
+            arithmetic.apply_lut_radix(self.digits, f, self.ck, self.base_bits)
         )
 
     def to_bits(self) -> "FheUint":
@@ -516,10 +523,8 @@ class FheUintRadix:
     def shift_digits(self, k: int) -> "FheUintRadix":
         """Multiply (k>0) / divide (k<0) by base^k mod base^D — free digit
         moves, no bootstraps."""
-        return FheUintRadix(
-            arithmetic.shift_digits(self.digits, k, self.base_bits),
-            self.base_bits,
-            self.ck,
+        return self._like(
+            arithmetic.shift_digits(self.digits, k, self.base_bits)
         )
 
     # comparisons -> FheBool (MSB-first trichotomy tree: 1 + ceil(log2 D)
@@ -529,7 +534,8 @@ class FheUintRadix:
         three separate operator calls when more than one verdict is needed."""
         o = self._coerce(other)
         eq, gt, lt = arithmetic.compare_radix(
-            self.digits, o.digits, self.ck, self.base_bits
+            self.digits, o.digits, self.ck, self.base_bits,
+            multi_value=self.multi_value,
         )
         return FheBool(eq, self.ck), FheBool(gt, self.ck), FheBool(lt, self.ck)
 
@@ -554,19 +560,17 @@ class FheUintRadix:
     def min(self, other) -> "FheUintRadix":
         """Encrypted element-wise minimum (compare tree + 3-rotation select)."""
         o = self._coerce(other)
-        return FheUintRadix(
-            arithmetic.min_radix(self.digits, o.digits, self.ck, self.base_bits),
-            self.base_bits,
-            self.ck,
+        return self._like(
+            arithmetic.min_radix(self.digits, o.digits, self.ck, self.base_bits,
+                                 multi_value=self.multi_value)
         )
 
     def max(self, other) -> "FheUintRadix":
         """Encrypted element-wise maximum."""
         o = self._coerce(other)
-        return FheUintRadix(
-            arithmetic.max_radix(self.digits, o.digits, self.ck, self.base_bits),
-            self.base_bits,
-            self.ck,
+        return self._like(
+            arithmetic.max_radix(self.digits, o.digits, self.ck, self.base_bits,
+                                 multi_value=self.multi_value)
         )
 
     __hash__ = None

@@ -178,12 +178,14 @@ def add_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3,
     return jnp.stack(outs, axis=-2)
 
 
-def sub_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
+def sub_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3,
+              multi_value: bool = False):
     """Digit-vector subtraction a - b (mod base^D), 2D programmable
     bootstraps: a + (base^D - 1 - b) + 1, where the radix complement is
     digit-wise (base-1-b_i) — one batched PBS over all D digits, no borrow
     chain — and the +1 rides add_radix's carry_in. Same margins as
-    add_radix. No reference analogue (its LUT demo only adds,
+    add_radix (multi_value forwards to it: D+1 rotations total). No
+    reference analogue (its LUT demo only adds,
     examples/lut_add_two_numbers.rs)."""
     base = 1 << base_bits
     modulus = 2 * base
@@ -194,7 +196,8 @@ def sub_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 3):
     one = lwe_trivial_message(
         jnp.ones(a.shape[:-2], dtype=jnp.uint32), modulus, a.shape[-1] - 1
     )
-    return add_radix(a, comp, ck, base_bits, carry_in=one)
+    return add_radix(a, comp, ck, base_bits, carry_in=one,
+                     multi_value=multi_value)
 
 
 def apply_lut_radix(ct: jax.Array, f, ck: CloudKey, base_bits: int = 3):
