@@ -4,10 +4,11 @@ The p_fail headlines (SECURITY_128_BIT_FAST ~3e-19/gate model;
 SECURITY_128_BIT_NIBBLE < 1e-9/PBS model) previously rested on the noise
 model plus a single 4096x5 bench run — and round 2's "margin trap"
 (NOTES-PERF.md) proved such models can be silently 2x wrong. This script
-buys hardware evidence: ~10^7 bootstrapped gates at FAST and >= 10^4
-nibble adds (3 PBS each) at NIBBLE, decrypting EVERY output and counting
-errors (expect 0). Mirrors the reference's statistical-test style
-(tlwe.rs:281-304, 10,000-trial) at 1000x the trial count.
+buys hardware evidence: ~10^7 bootstrapped gates at FAST, ~2x10^6 at the
+literal SECURITY_128_BIT reference set, and >= 10^4 nibble adds (3 PBS
+each) at NIBBLE, decrypting EVERY output and counting errors (expect 0).
+Mirrors the reference's statistical-test style (tlwe.rs:281-304,
+10,000-trial) at 1000x the trial count.
 
 Chained layers keep the test honest: each layer consumes the previous
 layer's bootstrapped outputs, so accumulated phase noise — not fresh
@@ -16,8 +17,8 @@ encryption noise — is what each bootstrap must absorb.
     python scripts/soak.py                       # full (~25 min on v5e)
     RS_TFHE_SOAK_GATES=2e4 RS_TFHE_SOAK_ADDS=64 python scripts/soak.py
 
-Writes SOAK_r03.json at the repo root; tests/test_soak_artifact.py
-asserts errors == 0 whenever the artifact exists.
+Writes SOAK_r04.json at the repo root; tests/test_soak_artifact.py
+asserts errors == 0 on the newest artifact present.
 """
 
 from __future__ import annotations
@@ -44,7 +45,7 @@ from rs_tfhe_tpu import gates, models, tlwe
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SOAK_r03.json",
+    "SOAK_r04.json",
 )
 
 #: gates per jitted dispatch layer pair (see _layers): one NAND + one XOR
@@ -60,16 +61,16 @@ def _layers(a, b, ck):
     return a, b
 
 
-def soak_fast(target_gates: int) -> dict:
-    p = tfhe.SECURITY_128_BIT_FAST
-    sk = tfhe.SecretKey.generate(jax.random.key(100), p)
-    ck = tfhe.CloudKey.generate(jax.random.key(101), sk)
+def soak_gates(pname: str, target_gates: int, key0: int = 100) -> dict:
+    p = tfhe.ALL_SECURITY_SETS[pname]
+    sk = tfhe.SecretKey.generate(jax.random.key(key0), p)
+    ck = tfhe.CloudKey.generate(jax.random.key(key0 + 1), sk)
     rng = np.random.default_rng(1)
     a_bits = rng.integers(0, 2, BATCH).astype(bool)
     b_bits = rng.integers(0, 2, BATCH).astype(bool)
-    a = tlwe.lwe_encrypt_bool(jax.random.key(102), sk.lv0,
+    a = tlwe.lwe_encrypt_bool(jax.random.key(key0 + 2), sk.lv0,
                               jnp.asarray(a_bits), p.tlwe_lv0.alpha)
-    b = tlwe.lwe_encrypt_bool(jax.random.key(103), sk.lv0,
+    b = tlwe.lwe_encrypt_bool(jax.random.key(key0 + 3), sk.lv0,
                               jnp.asarray(b_bits), p.tlwe_lv0.alpha)
 
     # ck/sk are jit ARGUMENTS, not closures — closed-over keys embed as
@@ -102,7 +103,7 @@ def soak_fast(target_gates: int) -> dict:
             break
     dt = time.perf_counter() - t0
     return {
-        "params": "SECURITY_128_BIT_FAST",
+        "params": pname,
         "gates": gates_done,
         "errors": errors,
         "seconds": round(dt, 1),
@@ -154,11 +155,21 @@ def main() -> None:
     target_adds = int(float(os.environ.get("RS_TFHE_SOAK_ADDS", "1e4")))
     print(f"device: {jax.devices()[0]}")
     # write after each phase so a timeout kill keeps the finished phase
+    target_strict = int(float(os.environ.get("RS_TFHE_SOAK_STRICT_GATES",
+                                              "2e6")))
     artifact: dict = {"ts": time.time()}
     print(f"soaking {target_gates:.0e} FAST gates ...", flush=True)
-    fast = soak_fast(target_gates)
+    fast = soak_gates("SECURITY_128_BIT_FAST", target_gates)
     print(json.dumps(fast))
     artifact["fast"] = fast
+    with open(OUT, "w") as f:
+        json.dump(artifact, f, indent=1)
+    # the literal reference set, same chained-layer harness (bench.py's
+    # strict_* rows get the matching reliability evidence)
+    print(f"soaking {target_strict:.0e} STRICT gates ...", flush=True)
+    strict = soak_gates("SECURITY_128_BIT", target_strict, key0=120)
+    print(json.dumps(strict))
+    artifact["strict"] = strict
     with open(OUT, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"soaking {target_adds} NIBBLE adds ...", flush=True)
@@ -168,7 +179,7 @@ def main() -> None:
     with open(OUT, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"wrote {OUT}")
-    ok = fast["errors"] == 0 and nib["errors"] == 0
+    ok = all(r["errors"] == 0 for r in (fast, strict, nib))
     print("SOAK", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -1,19 +1,21 @@
-"""The reliability-soak artifact (scripts/soak.py -> SOAK_r03.json) must
-show zero decryption errors whenever it exists (VERDICT r2 item 3: the
-p_fail headlines need hardware evidence, not just the noise model)."""
+"""The reliability-soak artifacts (scripts/soak.py -> SOAK_r0N.json) must
+show zero decryption errors whenever they exist (VERDICT r2 item 3: the
+p_fail headlines need hardware evidence, not just the noise model). Checks
+the newest artifact present; round 4 adds a strict SECURITY_128_BIT phase."""
 
+import glob
 import json
 import os
 
 import pytest
 
-ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "SOAK_r03.json")
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTS = sorted(glob.glob(os.path.join(ROOT, "SOAK_r*.json")))
 
 
-@pytest.mark.skipif(not os.path.exists(ART), reason="soak not yet run")
+@pytest.mark.skipif(not ARTS, reason="soak not yet run")
 def test_soak_zero_errors():
-    with open(ART) as f:
+    with open(ARTS[-1]) as f:
         art = json.load(f)
     fast, nib = art["fast"], art["nibble"]
     assert fast["errors"] == 0, f"FAST soak saw {fast['errors']} gate errors"
@@ -21,3 +23,9 @@ def test_soak_zero_errors():
     # the run must be big enough to back the README claims
     assert fast["gates"] >= 1_000_000
     assert nib["pbs"] >= 10_000
+    if "strict" in art:  # round-4+ artifacts: the literal reference set
+        strict = art["strict"]
+        assert strict["errors"] == 0, (
+            f"STRICT soak saw {strict['errors']} gate errors"
+        )
+        assert strict["gates"] >= 1_000_000
