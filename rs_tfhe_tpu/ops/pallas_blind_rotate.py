@@ -561,19 +561,20 @@ def wide_eligible(
     when several 128-row tiles share it and the scratch + resident
     accumulator fit VMEM (v5e: 128 MB total, ~100 MB usable).
 
-    The scratch cap is a measured CROSSOVER, not a fit limit: at 17 MB
-    (UINT4) and 25 MB (FAST) the wide kernel beats the per-tile kernel
-    (4.9k vs 4.5k / 8.1k vs 7.6k rot/s), but at 48 MB (SECURITY_128_BIT,
-    L=3) the resident scratch degrades double-buffering so badly that wide
-    runs 2 964 rot/s where the per-tile kernel runs 4 503 — the same VMEM
-    cliff as tile=256 (v5e, B=4096, 2026-08; super_b and tile sweeps do
-    not recover it: 2 980 at super=4096, 3 514 at tile=256)."""
+    The scratch cap is a measured CROSSOVER, not a fit limit: at 16 MB
+    (UINT4) and 24 MB (FAST) the wide kernel beats the per-tile kernel
+    (4.9k vs 4.5k / 8.1k vs 7.6k rot/s), but above that the resident
+    scratch degrades double-buffering more than the shared build saves —
+    at 32 MB (UINT1) wide runs 2 871 rot/s vs 3 227 per-tile, and at
+    48 MB (SECURITY_128_BIT, L=3) 2 964 vs 4 503; the same VMEM cliff as
+    tile=256 (v5e, B=2048/4096, 2026-08; super_b and tile sweeps do not
+    recover it: 2 980 at super=4096, 3 514 at tile=256)."""
     return (
         params.n1 % 128 == 0
         and batch % _FB == 0
         and batch >= 2 * _FB  # 1 tile/super: no build sharing, use _kernel
         and testvec_ndim in (2, 3)
-        and wide_scratch_bytes(params, drop_limbs) <= 36 * 1024 * 1024
+        and wide_scratch_bytes(params, drop_limbs) <= 28 * 1024 * 1024
     )
 
 

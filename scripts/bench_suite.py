@@ -340,6 +340,27 @@ def main():
                           sa[:1], sb[:1], chain=xor_into_body)
         record("gate_nand_b1_latency_STRICT", dt * 1e3, "ms")
 
+        # the other two reference boolean sets, at their literal constants
+        # (params.rs:91-146) — runtime-selectable here, where the reference
+        # pins the 128-bit set at compile time and cannot execute these
+        from rs_tfhe_tpu.tlwe import lwe_decrypt_bool
+
+        for nm, kk, tag in (("SECURITY_80_BIT", 70, "80BIT"),
+                            ("SECURITY_110_BIT", 80, "110BIT")):
+            pz = ALL_SECURITY_SETS[nm]
+            skz = SecretKey.generate(jax.random.key(kk), pz)
+            ckz = CloudKey.generate(jax.random.key(kk + 1), skz)
+            bits = rng.integers(0, 2, 4096).astype(bool)
+            za = lwe_encrypt_bool(jax.random.key(kk + 2), skz.lv0,
+                                  jnp.asarray(bits), pz.tlwe_lv0.alpha)
+            zb = lwe_encrypt_bool(jax.random.key(kk + 3), skz.lv0,
+                                  jnp.asarray(~bits), pz.tlwe_lv0.alpha)
+            outz = gates.nand(za, zb, ckz)  # b & ~b == 0 -> nand all True
+            assert bool(jnp.all(lwe_decrypt_bool(outz, skz.lv0))), nm
+            dt = timeit(lambda x, y: gates.nand(x, y, ckz), za, zb, iters=3,
+                        chain=xor_into_body)
+            record(f"gate_nand_b4096_{tag}", 4096 / dt, "gates/s")
+
     out = {
         "device": str(dev),
         "params": pname,

@@ -377,3 +377,21 @@ def test_cloudkey_precomputes_bsk_vecs():
     np.testing.assert_array_equal(
         np.asarray(ck.bsk_vecs), np.asarray(prepare_bsk_vecs(ck.bsk))
     )
+
+
+def test_wide_eligibility_is_the_measured_crossover():
+    """The wide kernel's scratch cap is a measured performance crossover
+    (v5e, 2026-08): UINT sets (16 MB) and FAST (24 MB) win wide, UINT1
+    (32 MB) and the L=3 boolean sets (48 MB) run 1.1-1.5x faster on the
+    per-tile kernel — NOTES-PERF.md round-4 findings. Guard the routing."""
+    import rs_tfhe_tpu as tfhe
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import wide_eligible
+
+    def drop(p):
+        return p.bsk_round_bits // 8
+
+    for p in (tfhe.SECURITY_128_BIT_FAST, tfhe.SECURITY_UINT4):
+        assert wide_eligible(p, 4096, 2, drop(p)), p.description
+    for p in (tfhe.SECURITY_80_BIT, tfhe.SECURITY_110_BIT,
+              tfhe.SECURITY_128_BIT, tfhe.SECURITY_UINT1):
+        assert not wide_eligible(p, 4096, 2, drop(p)), p.description
