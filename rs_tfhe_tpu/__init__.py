@@ -8,6 +8,8 @@ every step processes the whole ciphertext batch, and batches shard across
 device meshes via `shard_map`.
 """
 
+__version__ = "0.4.0"
+
 from .params import (  # noqa: F401
     ALL_SECURITY_SETS,
     DEFAULT_SECURITY,
