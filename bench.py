@@ -66,6 +66,26 @@ def _make_chain(n: int):
     return chained_gates
 
 
+def warmup_process() -> None:
+    """Absorb the one-time per-process device cost up front.
+
+    The FIRST real dispatch sequence in a process pays 30-140 s (observed
+    up to 999 s in the round-3 driver run) of tunnel/session init plus the
+    loading of the dozens of small eager primitives (threefry, bernoulli,
+    ...) — measured to be order-dependent, not program-dependent: whichever
+    keygen runs first eats it, the second keygen (a DIFFERENT program)
+    takes <1 s. A TEST_TINY keygen triggers the same primitives, so the
+    numbers that follow reflect the programs being measured."""
+    from rs_tfhe_tpu import TEST_TINY
+
+    t0 = time.perf_counter()
+    sk0 = SecretKey.generate(jax.random.key(1), TEST_TINY)
+    ck0 = CloudKey.generate(jax.random.key(2), sk0)
+    _ = np.asarray(jax.device_get(ck0.bsk.ravel()[0]))
+    log(f"process warm-up (session init + primitive loads): "
+        f"{time.perf_counter() - t0:.2f}s")
+
+
 def prewarm_set(pname: str, batch: int) -> None:
     """Compile (and persistent-cache) every program `measure` will run."""
     params = ALL_SECURITY_SETS[pname]
@@ -103,7 +123,10 @@ def prewarm_guard(pnames: list[str], batch: int) -> None:
     """
     env = dict(os.environ, RS_TFHE_BENCH_PREWARM_SETS=",".join(pnames),
                RS_TFHE_BENCH_BATCH=str(batch))
-    timeout_s = float(os.environ.get("RS_TFHE_BENCH_PREWARM_TIMEOUT", "900"))
+    # must cover the per-process warm-up (observed up to ~10 min when the
+    # tunnel is degraded) PLUS a cold compile pass; a true hang still gets
+    # killed and retried with the finished modules already cached
+    timeout_s = float(os.environ.get("RS_TFHE_BENCH_PREWARM_TIMEOUT", "1200"))
     for attempt in range(3):
         try:
             rc = subprocess.run(
@@ -212,6 +235,7 @@ def main() -> None:
     pname = pname or "SECURITY_128_BIT_FAST"
 
     if "--prewarm" in sys.argv:
+        warmup_process()
         for p in os.environ["RS_TFHE_BENCH_PREWARM_SETS"].split(","):
             prewarm_set(p, batch)
         return
@@ -220,6 +244,7 @@ def main() -> None:
         prewarm_guard(pnames, batch)
 
     log(f"device={jax.devices()[0]}")
+    warmup_process()
 
     main_res = measure(pname, batch, iters)
 

@@ -155,12 +155,15 @@ def main():
                       chain=xor_into_body)
     record("gate_nand_b1_latency", dt * 1e3, "ms")
 
-    # --- gate throughput sweep ---
-    for batch in (128, 2048, 4096):
+    # --- gate throughput sweep (b10240 = BASELINE.json's "batch-10k
+    # bootstrap wall-clock" config) ---
+    for batch in (128, 2048, 4096, 10240):
         a, b = enc_pair(batch)
         dt = timeit(lambda x, y: gates.nand(x, y, ck), a, b,
                     iters=3 if batch >= 2048 else 5, chain=xor_into_body)
         record(f"gate_nand_b{batch}", batch / dt, "gates/s")
+        if batch == 10240:
+            record("gate_batch10k_wall", dt * 1e3, "ms")
 
     # --- six-gate group (reference benches the 6-gate set together) ---
     a, b = enc_pair(2048)
