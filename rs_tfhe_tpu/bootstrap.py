@@ -30,7 +30,8 @@ def bootstrap(ct: jax.Array, ck: CloudKey) -> jax.Array:
     """
     flat, restore = _flat(ct)
     acc = blind_rotate(flat, ck.testvec, ck.bsk, ck.params,
-                       bsk_packed=ck.bsk_packed, bsk_vecs=ck.bsk_vecs)
+                       bsk_packed=ck.bsk_packed, bsk_vecs=ck.bsk_vecs,
+                       bsk_mb=ck.bsk_mb, bsk_mb_vecs=ck.bsk_mb_vecs)
     lv1 = sample_extract(acc, 0)
     return restore(identity_key_switch(lv1, ck.ksk_limbs, ck.params))
 
@@ -45,7 +46,8 @@ def bootstrap_without_key_switch(ct: jax.Array, ck: CloudKey) -> jax.Array:
     """
     flat, restore = _flat(ct)
     acc = blind_rotate(flat, ck.testvec, ck.bsk, ck.params,
-                       bsk_packed=ck.bsk_packed, bsk_vecs=ck.bsk_vecs)
+                       bsk_packed=ck.bsk_packed, bsk_vecs=ck.bsk_vecs,
+                       bsk_mb=ck.bsk_mb, bsk_mb_vecs=ck.bsk_mb_vecs)
     return restore(sample_extract(acc, 0))
 
 
@@ -59,7 +61,8 @@ def bootstrap_with_testvec(ct: jax.Array, testvec: jax.Array, ck: CloudKey) -> j
     if testvec.ndim > 2:
         testvec = testvec.reshape(-1, *testvec.shape[-2:])
     acc = blind_rotate(flat, testvec, ck.bsk, ck.params,
-                       bsk_packed=ck.bsk_packed, bsk_vecs=ck.bsk_vecs)
+                       bsk_packed=ck.bsk_packed, bsk_vecs=ck.bsk_vecs,
+                       bsk_mb=ck.bsk_mb, bsk_mb_vecs=ck.bsk_mb_vecs)
     lv1 = sample_extract(acc, 0)
     return restore(identity_key_switch(lv1, ck.ksk_limbs, ck.params))
 

@@ -16,6 +16,7 @@ Reference: rs-tfhe key.rs. Differences by design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -71,10 +72,25 @@ class CloudKey:
     #: and replays the masks at load. Public-randomness only — the secret
     #: key is NOT derivable from it (noise/body already published).
     gen_seed: Optional[jax.Array] = None  # uint32 [2]
+    #: multi-bit (grouping factor 2) bootstrapping key: TRGSW encryptions of
+    #: the four pair-indicator products per lv0 secret-bit PAIR
+    #: (gen_bootstrapping_key_mb). Optional — `generate(multibit=True)`.
+    #: Halves the sequential CMUX-chain length for the small-batch latency
+    #: kernel; no reference analog (the reference rotates bit-by-bit,
+    #: trgsw.rs:209-223).
+    bsk_mb: Optional[jax.Array] = None  # uint32 [n0/2, 4, 2L, 2, N]
+    #: extended pattern limb vectors the mb Mosaic kernel streams
+    #: (ops/pallas_blind_rotate.prepare_bsk_mb_vecs); derived, not
+    #: serialized.
+    bsk_mb_vecs: Optional[jax.Array] = None  # int8 [n0/2, 4*RB, 2L*2N]
 
     @staticmethod
-    def generate(key: jax.Array, sk: SecretKey) -> "CloudKey":
-        ksk_limbs, bsk, packed, vecs = _generate_jit(key, sk)
+    def generate(
+        key: jax.Array, sk: SecretKey, multibit: bool = False
+    ) -> "CloudKey":
+        ksk_limbs, bsk, packed, vecs, mb, mb_vecs = _generate_jit(
+            key, sk, multibit=multibit
+        )
         return CloudKey(
             testvec=gen_testvec(sk.params),
             ksk_limbs=ksk_limbs,
@@ -83,6 +99,8 @@ class CloudKey:
             bsk_packed=packed,
             bsk_vecs=vecs,
             gen_seed=jax.random.key_data(key).astype(jnp.uint32),
+            bsk_mb=mb,
+            bsk_mb_vecs=mb_vecs,
         )
 
     @staticmethod
@@ -102,13 +120,14 @@ class CloudKey:
         )
 
 
-@jax.jit
-def _generate_jit(key: jax.Array, sk: SecretKey):
+@functools.partial(jax.jit, static_argnames=("multibit",))
+def _generate_jit(key: jax.Array, sk: SecretKey, multibit: bool = False):
     """KSK + BSK + packed-BSK generation fused into ONE jitted program —
     one device dispatch instead of three, halving warm keygen latency
     (sk's params ride along as static pytree metadata)."""
     from .ops.pallas_blind_rotate import (
         prepare_bsk_limbs,
+        prepare_bsk_mb_vecs,
         prepare_bsk_vecs,
         small_param_ok,
     )
@@ -121,7 +140,17 @@ def _generate_jit(key: jax.Array, sk: SecretKey):
         if small_param_ok(sk.params)
         else None
     )
-    return ksk_limbs, bsk, prepare_bsk_limbs(bsk), vecs
+    mb = mb_vecs = None
+    if multibit:
+        # fold_in keeps the KSK/BSK PRNG streams byte-identical to a
+        # non-multibit generation (golden vectors + seeded replay depend
+        # on that); 0x6d62 = "mb".
+        mb = gen_bootstrapping_key_mb(jax.random.fold_in(key, 0x6D62), sk)
+        if small_param_ok(sk.params):
+            mb_vecs = prepare_bsk_mb_vecs(
+                mb, drop_limbs=sk.params.bsk_round_bits // 8
+            )
+    return ksk_limbs, bsk, prepare_bsk_limbs(bsk), vecs, mb, mb_vecs
 
 
 def gen_testvec(params: TfheParams) -> jax.Array:
@@ -177,6 +206,46 @@ def gen_bootstrapping_key(key: jax.Array, sk: SecretKey) -> jax.Array:
     params = sk.params
     return trgsw_encrypt_torus(
         key, sk.lv1, sk.lv0, params.bsk_alpha, params,
+        mask_grid_bits=params.bsk_round_bits,
+    )
+
+
+def gen_bootstrapping_key_mb(key: jax.Array, sk: SecretKey) -> jax.Array:
+    """Multi-bit (grouping factor 2) bootstrapping key.
+
+    For each PAIR of lv0 secret bits (s1, s2) = (s[2i], s[2i+1]),
+    TRGSW-encrypt the four pair indicators under s_lv1:
+
+        v = (0,0): (1-s1)(1-s2)    v = (1,0): s1(1-s2)
+        v = (0,1): (1-s1)s2        v = (1,1): s1*s2
+
+    so that  sum_v X^(a1*v1 + a2*v2) * ind_v = X^(a1*s1 + a2*s2)  and ONE
+    external product advances the blind rotation by TWO mask elements
+    (ops/blind_rotate.blind_rotate_mb). Returns uint32 [n0/2, 4, 2L, 2, N],
+    pattern order [(0,0), (1,0), (0,1), (1,1)].
+
+    Encrypting products of secret bits is the standard multi-bit-PBS
+    circular-security assumption (same family as the reference's BSK, which
+    encrypts the bits themselves, key.rs:124-156). Noise cost: the combined
+    TRGSW sums 4 independent encryptions => 4x BSK-noise variance per step
+    at half the steps, 2x per rotation (utils/noise.estimate(mb_group=2)).
+    """
+    params = sk.params
+    assert params.n0 % 2 == 0, "multi-bit grouping needs an even n0"
+    s1 = sk.lv0[0::2]
+    s2 = sk.lv0[1::2]
+    one = jnp.uint32(1)
+    inds = jnp.stack(
+        [
+            (one - s1) * (one - s2),
+            s1 * (one - s2),
+            (one - s1) * s2,
+            s1 * s2,
+        ],
+        axis=1,
+    )  # [n0/2, 4] in {0, 1}
+    return trgsw_encrypt_torus(
+        key, sk.lv1, inds, params.bsk_alpha, params,
         mask_grid_bits=params.bsk_round_bits,
     )
 

@@ -86,6 +86,114 @@ def modswitch(x: jax.Array, params: TfheParams) -> jax.Array:
     return ((x + rnd) >> jnp.uint32(TORUS_BITS - nbit - 1)).astype(jnp.int32)
 
 
+def blind_rotate_mb(
+    ct: jax.Array,
+    testvec: jax.Array,
+    bsk_mb: jax.Array,
+    params: TfheParams,
+    bsk_mb_vecs=None,
+) -> jax.Array:
+    """Multi-bit (grouping factor 2) blind rotation: n0/2 external products.
+
+    bsk_mb: uint32 [n0/2, 4, 2L, 2, N] pair-indicator TRGSWs
+    (key.gen_bootstrapping_key_mb). Per group, the four entries are combined
+    in the uint32 WORD domain with per-ciphertext monomial rotations —
+        comb = sum_v X^(a1*v1 + a2*v2) * G_v  (encrypts X^(a1*s1 + a2*s2))
+    — and ONE external product replaces the accumulator:  acc <- acc ⊡ comb.
+    Halves the sequential chain (the latency lever: per-step cost at tiny
+    batches is VPU-build-bound, NOTES-PERF.md); NOT a throughput lever — the
+    batched MXU formulation's cost scales with BSK entries contracted per
+    rotation (2x n0 here), not with steps, so the wide kernel keeps the
+    standard CMUX form. No reference analog (trgsw.rs:198-226 is bit-serial).
+
+    This function is the exact XLA path (per-ciphertext circulant operands:
+    correct everywhere, used as the oracle and on CPU); on TPU the commuted
+    small-batch Mosaic kernel takes over when eligible.
+    """
+    g = params.trgsw_lv1
+    n0, n1 = params.n0, params.n1
+    assert n0 % 2 == 0
+    batch = ct.shape[0]
+    groups = n0 // 2
+
+    b_til = (2 * n1 - modswitch(ct[:, n0], params)) % (2 * n1)  # [B]
+    a_til = modswitch(ct[:, :n0], params)  # [B, n0]
+    a1 = a_til[:, 0::2]  # [B, G]
+    a2 = a_til[:, 1::2]
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    use_kernel = config.step_impl == "fused_small_mb" or (
+        config.step_impl == "auto" and on_tpu and batch <= 2
+    )
+    if use_kernel:
+        from .pallas_blind_rotate import (
+            fused_blind_rotate_small_mb,
+            mb_rows_per_pattern,
+            mb_small_eligible,
+            prepare_bsk_mb_vecs,
+        )
+
+        if not mb_small_eligible(params, batch, testvec.ndim):
+            if config.step_impl == "fused_small_mb":
+                raise ValueError("mb blind rotate: shape/params not eligible")
+            use_kernel = False
+        elif not on_tpu:
+            raise ValueError("mb blind rotate: Mosaic kernel requires TPU")
+    if use_kernel:
+        drop = params.bsk_round_bits // 8
+        vecs = (
+            bsk_mb_vecs
+            if bsk_mb_vecs is not None
+            else prepare_bsk_mb_vecs(bsk_mb, drop_limbs=drop)
+        )
+        return fused_blind_rotate_small_mb(
+            b_til.astype(jnp.int32),
+            _mb_k_rows(a1, a2, params, mb_rows_per_pattern(params, drop)),
+            testvec,
+            vecs,
+            params,
+            drop_limbs=drop,
+        )
+
+    tv = jnp.broadcast_to(testvec, (batch, 2, n1))
+    acc0 = monomial_rotate(tv, b_til[:, None])
+
+    def step(acc, xs):
+        w, a1_i, a2_i = xs  # [4, 2L, 2, N], [B], [B]
+        k = jnp.stack(
+            [jnp.zeros_like(a1_i), a1_i, a2_i, (a1_i + a2_i) % (2 * n1)]
+        )  # [4, B]
+        wb = jnp.broadcast_to(w[:, None], (4, batch, 2 * g.l, 2, n1))
+        rot = monomial_rotate(wb, k[:, :, None, None])
+        comb = rot[0] + rot[1] + rot[2] + rot[3]  # [B, 2L, 2, N] (wraps)
+        digits = gadget_decompose(acc, params)  # [B, 2L, N]
+        out = jax.vmap(
+            lambda dd, ww: polymul_small_by_torus_multi(
+                dd, build_step_matrix(ww), params.digit_limbs, 2
+            )
+        )(digits, comb)
+        return out, None
+
+    acc, _ = jax.lax.scan(step, acc0, (bsk_mb, a1.T, a2.T))
+    return acc
+
+
+def _mb_k_rows(
+    a1: jax.Array, a2: jax.Array, params: TfheParams, reps: int
+) -> jax.Array:
+    """Per-row monomial exponents for the mb kernel's output barrel roll:
+    a1/a2 int32 [B, G] -> int32 [G, B, 4*reps, 1], pattern-major order
+    [0, a1, a2, a1+a2] with each exponent repeated `reps` times (the
+    kernel's dot-output rows per pattern, mb_rows_per_pattern) so the
+    roll's per-row bit select is a plain broadcast."""
+    n1 = params.n1
+    kv = jnp.stack(
+        [jnp.zeros_like(a1), a1, a2, (a1 + a2) % (2 * n1)], axis=2
+    )  # [B, G, 4]
+    rows = jnp.repeat(kv, reps, axis=2)  # [B, G, 4*reps]
+    return jnp.transpose(rows, (1, 0, 2))[..., None]  # [G, B, 4*reps, 1]
+
+
 def blind_rotate(
     ct: jax.Array,
     testvec: jax.Array,
@@ -93,6 +201,8 @@ def blind_rotate(
     params: TfheParams,
     bsk_packed=None,
     bsk_vecs=None,
+    bsk_mb=None,
+    bsk_mb_vecs=None,
 ) -> jax.Array:
     """Blind-rotate a batch of lv0 LWE ciphertexts.
 
@@ -102,6 +212,9 @@ def blind_rotate(
              fused kernel (CloudKey precomputes it; packed on the fly if None)
     bsk_vecs: optional int8 [n0, 2*(4-drop), 2L*2N] extended limb vectors for
              the small-batch kernel (CloudKey precomputes when eligible)
+    bsk_mb / bsk_mb_vecs: optional multi-bit pair-indicator key material
+             (CloudKey.generate(multibit=True)); small batches route through
+             the half-length grouped chain (blind_rotate_mb) when present
     bsk:     uint32 [n0, 2L, 2, N] (TRGSW coefficient polys)
     Returns the accumulator TRLWE batch, uint32 [B, 2, N].
     """
@@ -109,6 +222,18 @@ def blind_rotate(
     n0, n1 = params.n0, params.n1
     batch = ct.shape[0]
     d_limbs = params.digit_limbs
+
+    # Multi-bit routing: a LATENCY lever only — per-step cost at tiny
+    # batches is circulant-build-bound and grouping halves the steps; the
+    # batched throughput kernels' cost scales with BSK entries contracted
+    # per rotation (2x n0 for mb), so larger batches keep the CMUX form.
+    if bsk_mb is not None and (
+        config.step_impl == "fused_small_mb"
+        or (config.step_impl == "auto" and batch <= 2)
+    ):
+        return blind_rotate_mb(
+            ct, testvec, bsk_mb, params, bsk_mb_vecs=bsk_mb_vecs
+        )
 
     b_til = (2 * n1 - modswitch(ct[:, n0], params)) % (2 * n1)  # [B]
     a_til = modswitch(ct[:, :n0], params)  # [B, n0]

@@ -334,6 +334,57 @@ def _kernel_wide(
         out_ref[pl.ds(t0, tile), o, :] = acc[o] + uacc
 
 
+def _pack_digit_chain(planes, batch: int, n: int, j_rows: int) -> jax.Array:
+    """Byte-pack up to 4 digit planes per int32 word, zero-pad to 2N, and run
+    ONE joint roll chain for EVERY (ciphertext, word) at once (log2(128)
+    large VPU ops instead of batch*n_words small chains). The pack runs
+    whole-batch 2-D (no per-row extracts: a 1-row slice at sublane offset
+    b >= 1 crashes Mosaic layout inference on (1, 128)-tiled values —
+    measured at batch = 2). Returns [batch*n_words, 128, 2N] i32 with
+    out[b*n_words + w, mi, c] = packed_digits[b, w, (c - mi) mod 2N]."""
+    two_n = 2 * n
+    n_words = (j_rows + 3) // 4
+    word_rows = []  # n_words x [batch, 2N] i32
+    for w_i in range(n_words):
+        js = range(4 * w_i, min(4 * w_i + 4, j_rows))
+        word = jnp.zeros((batch, n), dtype=jnp.uint32)
+        for slot, j in enumerate(js):
+            byte = jax.lax.bitcast_convert_type(
+                planes[j][0], jnp.uint8
+            ).astype(jnp.uint32)
+            word = word | (byte << jnp.uint32(8 * slot))
+        word_rows.append(jnp.concatenate([
+            jax.lax.bitcast_convert_type(word, jnp.int32),
+            jnp.zeros((batch, n), jnp.int32),
+        ], axis=1))
+    # [batch, n_words, 2N] -> row index b*n_words + w_i (leading dims are
+    # untiled, so the merge is layout-free)
+    stacked = jnp.stack(word_rows, axis=1).reshape(batch * n_words, two_n)
+    return _build_w_packed_all(stacked, 128)
+
+
+def _write_dig_scratch(dig_ref, wch_all, b: int, n: int, j_rows: int) -> None:
+    """Unpack ciphertext b's rolled digit words into the [2L*2N, N] int8
+    zero-padded-circulant scratch: dig[j*2N + k', c] = Dzp_j[(c - k') mod 2N]."""
+    two_n = 2 * n
+    n_words = (j_rows + 3) // 4
+    for w_i in range(n_words):
+        js = range(4 * w_i, min(4 * w_i + 4, j_rows))
+        wch = wch_all[b * n_words + w_i]  # [128, 2N] i32
+        w2 = jnp.concatenate([wch, wch], axis=1)  # [128, 4N]
+        for u in range(two_n // 128):
+            blkc = jax.lax.slice(
+                w2, (0, two_n - 128 * u), (128, two_n - 128 * u + n)
+            )  # [128, N] i32 packed
+            for slot, j in enumerate(js):
+                dig_ref[pl.ds(j * two_n + 128 * u, 128), :] = (
+                    jax.lax.shift_right_arithmetic(
+                        jnp.left_shift(blkc, jnp.int32(24 - 8 * slot)),
+                        jnp.int32(24),
+                    ).astype(jnp.int8)
+                )
+
+
 def _kernel_small(
     tv_ref, btil_ref, atil_ref, bskvec_ref, out_ref, dig_ref, *,
     params: TfheParams, per_ct_tv: bool = False, drop_limbs: int = 0,
@@ -365,7 +416,6 @@ def _kernel_small(
     two_n = 2 * n
     step = pl.program_id(0)
     n_q = 4 - drop_limbs
-    n_words = (j_rows + 3) // 4
 
     b_k = btil_ref[0, :, :]  # [B, 1] int32
 
@@ -386,48 +436,11 @@ def _kernel_small(
     planes = _decompose_i8(diffs, params)  # 2L x [dl=1] x [B, N] i8
 
     lhs = bskvec_ref[0]  # [2*n_q, 2L*2N] i8
-    # byte-pack up to 4 digit planes per int32 word and zero-pad to 2N,
-    # for EVERY (ciphertext, word) at once — one joint roll chain
-    # (log2(128) large VPU ops) instead of batch*n_words small chains.
-    # The pack runs whole-batch 2-D (no per-row extracts: a 1-row slice at
-    # sublane offset b >= 1 crashes Mosaic layout inference on (1, 128)-
-    # tiled values — measured at batch = 2).
-    word_rows = []  # n_words x [batch, 2N] i32
-    for w_i in range(n_words):
-        js = range(4 * w_i, min(4 * w_i + 4, j_rows))
-        word = jnp.zeros((batch, n), dtype=jnp.uint32)
-        for slot, j in enumerate(js):
-            byte = jax.lax.bitcast_convert_type(
-                planes[j][0], jnp.uint8
-            ).astype(jnp.uint32)
-            word = word | (byte << jnp.uint32(8 * slot))
-        word_rows.append(jnp.concatenate([
-            jax.lax.bitcast_convert_type(word, jnp.int32),
-            jnp.zeros((batch, n), jnp.int32),
-        ], axis=1))
-    # [batch, n_words, 2N] -> row index b*n_words + w_i (leading dims are
-    # untiled, so the merge is layout-free)
-    stacked = jnp.stack(word_rows, axis=1).reshape(batch * n_words, two_n)
-    wch_all = _build_w_packed_all(stacked, 128)
-    # [batch*n_words, 128, 2N] i32
+    wch_all = _pack_digit_chain(planes, batch, n, j_rows)
 
     uaccs = [[None, None] for _ in range(batch)]
     for b in range(batch):
-        for w_i in range(n_words):
-            js = range(4 * w_i, min(4 * w_i + 4, j_rows))
-            wch = wch_all[b * n_words + w_i]  # [128, 2N] i32
-            w2 = jnp.concatenate([wch, wch], axis=1)  # [128, 4N]
-            for u in range(two_n // 128):
-                blkc = jax.lax.slice(
-                    w2, (0, two_n - 128 * u), (128, two_n - 128 * u + n)
-                )  # [128, N] i32 packed
-                for slot, j in enumerate(js):
-                    dig_ref[pl.ds(j * two_n + 128 * u, 128), :] = (
-                        jax.lax.shift_right_arithmetic(
-                            jnp.left_shift(blkc, jnp.int32(24 - 8 * slot)),
-                            jnp.int32(24),
-                        ).astype(jnp.int8)
-                    )
+        _write_dig_scratch(dig_ref, wch_all, b, n, j_rows)
         res = jax.lax.dot_general(
             lhs, dig_ref[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -487,6 +500,184 @@ def small_eligible(params: TfheParams, batch: int, testvec_ndim: int) -> bool:
         and 1 <= batch <= 8
         and testvec_ndim in (2, 3)
     )
+
+
+def _kernel_small_mb(
+    tv_ref, btil_ref, krows_ref, mbvec_ref, out_ref, dig_ref, *,
+    params: TfheParams, per_ct_tv: bool = False, drop_limbs: int = 0,
+    batch: int = 1,
+):
+    """Multi-bit (pair-grouped) variant of `_kernel_small`: n0/2 grid steps,
+    each a full external product  acc <- Dec(acc) ⊡ comb  against the
+    word-domain combination of the four pair-indicator TRGSWs
+    (key.gen_bootstrapping_key_mb)
+
+        comb = G_00 + X^{a1} G_10 + X^{a2} G_01 + X^{a1+a2} G_11.
+
+    The monomial rotations are COMMUTED PAST THE DOT: (X^k G) ⊛ D =
+    X^k (G ⊛ D), so the BSK pattern vectors stay static (precomputed,
+    prepare_bsk_mb_vecs) and one [4*RB, 2L*2N] x [2L*2N, N] dot yields all
+    four products at once; each X^{k_v} is then a per-row NEGACYCLIC barrel
+    roll of the dot output (exact: the 2N-cyclic product of [g, -g] with
+    zero-padded digits is anti-periodic, so its low half IS the negacyclic
+    product and `_barrel_rotate_2d` realizes any X^k on it). Rotation is a
+    signed permutation, so it commutes with the per-limb <<8q recombination
+    mod 2^32 — bit-exact vs ops/blind_rotate.blind_rotate_mb's XLA path.
+
+    Per group this costs ONE digit-circulant build (the dominant VPU cost at
+    tiny batches) where the bit-serial chain pays TWO — the latency lever.
+    The dot is 4x the per-step MACs (4 patterns, same K, half the steps =
+    2x per rotation), cheap at B <= 2 where the MXU idles.
+    """
+    n = params.n1
+    g = params.trgsw_lv1
+    j_rows = 2 * g.l
+    step = pl.program_id(0)
+    n_q = 4 - drop_limbs
+    rb = mb_rows_per_pattern(params, drop_limbs)
+
+    b_k = btil_ref[0, :, :]  # [B, 1] int32
+
+    @pl.when(step == 0)
+    def _init():
+        for poly in range(2):
+            if per_ct_tv:
+                tv = tv_ref[:, poly, :]
+            else:
+                tv = jnp.broadcast_to(tv_ref[poly, :][None, :], (batch, n))
+            out_ref[:, poly, :] = _barrel_rotate_2d(tv, b_k, n)
+
+    acc = [out_ref[:, poly, :] for poly in range(2)]
+    planes = _decompose_i8(acc, params)  # 2L x [dl=1] x [B, N] i8 (FULL acc:
+    #                                      replacement form, not CMUX diff)
+
+    lhs = mbvec_ref[0]  # [4*RB, 2L*2N] i8, rows (v, o, q) zero-padded to RB
+    wch_all = _pack_digit_chain(planes, batch, n, j_rows)
+
+    news = [[None, None] for _ in range(batch)]
+    for b in range(batch):
+        _write_dig_scratch(dig_ref, wch_all, b, n, j_rows)
+        f = jax.lax.dot_general(
+            lhs, dig_ref[:, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [4*RB, N]: rows v*RB + o*n_q + qi = limb-q plane of D (*) G_v[o]
+        rolled = _barrel_rotate_2d(f, krows_ref[0, b], n)  # X^{k_v} per row
+        csum = rolled[0:rb, :]  # v-sum: RB-aligned sublane slices
+        for v in range(1, 4):
+            csum = csum + jax.lax.slice(rolled, (v * rb, 0), ((v + 1) * rb, n))
+        for o in range(2):
+            uacc = jnp.zeros((1, n), dtype=jnp.uint32)
+            for qi in range(n_q):
+                q = drop_limbs + qi
+                shift = 8 * q
+                if shift < TORUS_BITS:
+                    row = jax.lax.slice(
+                        csum, (o * n_q + qi, 0), (o * n_q + qi + 1, n)
+                    )
+                    uacc = uacc + (
+                        jax.lax.bitcast_convert_type(row, jnp.uint32)
+                        << jnp.uint32(shift)
+                    )
+            news[b][o] = uacc
+    for o in range(2):
+        full = (
+            news[0][o]
+            if batch == 1
+            else jnp.concatenate([news[b][o] for b in range(batch)], axis=0)
+        )
+        out_ref[:, o, :] = full  # replacement: acc ⊡ comb, no acc +
+
+
+def mb_rows_per_pattern(params: TfheParams, drop_limbs: int = 0) -> int:
+    """Dot-output rows per indicator pattern, padded to the 8-sublane tile
+    so the v-sum's row-block slices stay aligned."""
+    n_q = 4 - drop_limbs
+    return ((2 * n_q + 7) // 8) * 8
+
+
+def prepare_bsk_mb_vecs(bsk_mb: jax.Array, drop_limbs: int = 0) -> jax.Array:
+    """uint32 [G, 4, 2L, 2, N] (key.gen_bootstrapping_key_mb) -> int8
+    [G, 4*RB, 2L*2N]: per pattern, the prepare_bsk_vecs layout (extended
+    limb planes as flat contraction vectors, row o*n_q + qi), zero-padded
+    from 2*n_q to RB rows per pattern."""
+    g_ct, four, j2, two, n = bsk_mb.shape
+    flat = prepare_bsk_vecs(
+        bsk_mb.reshape(g_ct * four, j2, two, n), drop_limbs
+    )  # [G*4, 2*n_q, 2L*2N]
+    rows = flat.shape[1]
+    rb = ((rows + 7) // 8) * 8
+    flat = flat.reshape(g_ct, four, rows, flat.shape[2])
+    if rb != rows:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, rb - rows), (0, 0)))
+    return flat.reshape(g_ct, four * rb, -1)
+
+
+def mb_small_eligible(params: TfheParams, batch: int, testvec_ndim: int) -> bool:
+    """Pair-grouping needs an even n0; otherwise the `small_eligible`
+    envelope (per-ciphertext serial build: a latency play, B <= 8)."""
+    return (
+        small_param_ok(params)
+        and params.n0 % 2 == 0
+        and 1 <= batch <= 8
+        and testvec_ndim in (2, 3)
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("params", "interpret", "drop_limbs")
+)
+def fused_blind_rotate_small_mb(
+    b_til: jax.Array,
+    k_rows: jax.Array,
+    testvec: jax.Array,
+    bsk_mb_vecs: jax.Array,
+    params: TfheParams,
+    interpret: bool = False,
+    drop_limbs: int = 0,
+) -> jax.Array:
+    """Multi-bit small-batch blind rotation. b_til: int32 [B]; k_rows:
+    int32 [G, B, 4*RB, 1] per-row roll exponents (pattern-major, repeated
+    RB times — ops/blind_rotate._mb_k_rows); bsk_mb_vecs:
+    prepare_bsk_mb_vecs output. Returns uint32 [B, 2, N]."""
+    groups = k_rows.shape[0]
+    n = params.n1
+    g = params.trgsw_lv1
+    batch = b_til.shape[0]
+    per_ct_tv = testvec.ndim == 3
+    j_rows = 2 * g.l
+    rb4 = 4 * mb_rows_per_pattern(params, drop_limbs)
+
+    kernel = functools.partial(
+        _kernel_small_mb, params=params, per_ct_tv=per_ct_tv,
+        drop_limbs=drop_limbs, batch=batch,
+    )
+    tv_spec = (
+        pl.BlockSpec((batch, 2, n), lambda st: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if per_ct_tv
+        else pl.BlockSpec((2, n), lambda st: (0, 0), memory_space=pltpu.VMEM)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(groups,),
+        in_specs=[
+            tv_spec,
+            pl.BlockSpec((1, batch, 1), lambda st: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch, rb4, 1), lambda st: (st, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb4, j_rows * 2 * n),
+                         lambda st: (st, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((batch, 2, n), lambda st: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 2, n), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((j_rows * 2 * n, n), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(testvec, b_til[None, :, None], k_rows, bsk_mb_vecs)
 
 
 @functools.partial(

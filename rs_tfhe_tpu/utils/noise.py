@@ -51,7 +51,7 @@ def _erfc(x: float) -> float:
     return math.erfc(x)
 
 
-def estimate(params: TfheParams) -> NoiseEstimate:
+def estimate(params: TfheParams, mb_group: int = 1) -> NoiseEstimate:
     """Analytic noise budget for gate bootstrapping at these parameters.
 
     Models the CENTERED gadget decomposition this implementation uses
@@ -94,6 +94,20 @@ def estimate(params: TfheParams) -> NoiseEstimate:
         + 0.5 * (1.0 + n1 / 2.0) * eps2_c / 3.0
     )
     var_br = n0 * var_per_cmux
+    if mb_group == 2:
+        # Multi-bit (pair-grouped) rotation, key.gen_bootstrapping_key_mb:
+        # n0/2 external products, each against a sum of FOUR independently
+        # encrypted pattern TRGSWs (monomial rotations preserve variance)
+        # => 4x the BSK term per step; the centered-decomposition term
+        # loses its E[s_i] = 0.5 factor (the message X^(a.s) is a norm-1
+        # monomial on every step, not a {0,1} bit).
+        var_per_group = (
+            4.0 * 2.0 * l * n1 * var_digit * (var_bsk + var_bsk_round)
+            + (1.0 + n1 / 2.0) * eps2_c / 3.0
+        )
+        var_br = (n0 / 2.0) * var_per_group
+    elif mb_group != 1:
+        raise ValueError("mb_group must be 1 or 2")
 
     # Key switching lv1 -> lv0: N * t * var_ksk + N * 2^-2(t*basebit+1) rounding
     t = g.iks_t

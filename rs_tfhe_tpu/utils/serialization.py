@@ -69,6 +69,9 @@ def save_cloud_key(path, ck: CloudKey, seeded: bool = False) -> None:
     below), bit-identical to the original — no security change, the seed
     only ever produced public mask randomness. Requires ck.gen_seed
     (present on generated keys; absent on no-ksk dummies)."""
+    mb_extra = (
+        {} if ck.bsk_mb is None else {"bsk_mb": np.asarray(ck.bsk_mb)}
+    )
     if not seeded:
         np.savez_compressed(
             path,
@@ -78,6 +81,7 @@ def save_cloud_key(path, ck: CloudKey, seeded: bool = False) -> None:
             testvec=np.asarray(ck.testvec),
             ksk_limbs=np.asarray(ck.ksk_limbs),
             bsk=np.asarray(ck.bsk),
+            **mb_extra,
         )
         return
     if ck.gen_seed is None:
@@ -91,6 +95,13 @@ def save_cloud_key(path, ck: CloudKey, seeded: bool = False) -> None:
     for q in range(4):
         plane = limbs[:, q * p + params.n0].astype(np.int32).astype(np.uint32)
         bodies += plane << np.uint32(8 * q)
+    if ck.bsk_mb is not None:
+        # mb masks replay from fold_in(gen_seed, 0x6d62) exactly like the
+        # BSK's; only bodies + the gadget-bearing mask coefficients persist
+        mb_extra = {
+            "mb_bodies": np.asarray(ck.bsk_mb[:, :, :, 1, :]),
+            "mb_mask0": np.asarray(ck.bsk_mb[:, :, :l, 0, 0]),
+        }
     np.savez_compressed(
         path,
         version=_FORMAT_VERSION,
@@ -103,6 +114,7 @@ def save_cloud_key(path, ck: CloudKey, seeded: bool = False) -> None:
         # gadget constants ride on mask coefficient 0 of the first L rows
         # (trgsw.trgsw_encrypt_torus) — store those mask values verbatim
         bsk_mask0=np.asarray(ck.bsk[:, :l, 0, 0]),
+        **mb_extra,
     )
 
 
@@ -143,7 +155,18 @@ def _rebuild_seeded(z, params: TfheParams):
         a = (a >> rb) << rb
     a = a.at[:, : g.l, 0].set(jnp.asarray(z["bsk_mask0"]))
     bsk = jnp.stack([a, bodies], axis=2)  # [n0, 2L, 2, N]
-    return ksk_limbs, bsk
+
+    bsk_mb = None
+    if "mb_bodies" in z.files:
+        k_mask_mb, _ = jax.random.split(jax.random.fold_in(key, 0x6D62))
+        mb_bodies = jnp.asarray(z["mb_bodies"])  # [G, 4, 2L, N]
+        am = jax.random.bits(k_mask_mb, mb_bodies.shape, dtype=jnp.uint32)
+        if params.bsk_round_bits > 0:
+            rb = jnp.uint32(params.bsk_round_bits)
+            am = (am >> rb) << rb
+        am = am.at[:, :, : g.l, 0].set(jnp.asarray(z["mb_mask0"]))
+        bsk_mb = jnp.stack([am, mb_bodies], axis=3)  # [G, 4, 2L, 2, N]
+    return ksk_limbs, bsk, bsk_mb
 
 
 def load_cloud_key(path) -> CloudKey:
@@ -154,20 +177,23 @@ def load_cloud_key(path) -> CloudKey:
         from ..key import gen_testvec
         from ..ops.pallas_blind_rotate import (
             prepare_bsk_limbs,
+            prepare_bsk_mb_vecs,
             prepare_bsk_vecs,
             small_param_ok,
         )
 
         if kind == "cloud-seeded":
-            ksk_limbs, bsk = _rebuild_seeded(z, params)
+            ksk_limbs, bsk, bsk_mb = _rebuild_seeded(z, params)
             testvec = gen_testvec(params)
             gen_seed = jnp.asarray(z["gen_seed"])
         else:
             ksk_limbs = jnp.asarray(z["ksk_limbs"])
             bsk = jnp.asarray(z["bsk"])
+            bsk_mb = jnp.asarray(z["bsk_mb"]) if "bsk_mb" in z.files else None
             testvec = jnp.asarray(z["testvec"])
             gen_seed = None
 
+        drop = params.bsk_round_bits // 8
         return CloudKey(
             testvec=testvec,
             ksk_limbs=ksk_limbs,
@@ -175,11 +201,17 @@ def load_cloud_key(path) -> CloudKey:
             params=params,
             bsk_packed=prepare_bsk_limbs(bsk),
             bsk_vecs=(
-                prepare_bsk_vecs(bsk, drop_limbs=params.bsk_round_bits // 8)
+                prepare_bsk_vecs(bsk, drop_limbs=drop)
                 if small_param_ok(params)
                 else None
             ),
             gen_seed=gen_seed,
+            bsk_mb=bsk_mb,
+            bsk_mb_vecs=(
+                prepare_bsk_mb_vecs(bsk_mb, drop_limbs=drop)
+                if bsk_mb is not None and small_param_ok(params)
+                else None
+            ),
         )
 
 

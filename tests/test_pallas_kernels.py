@@ -341,6 +341,88 @@ def test_fused_blind_rotate_small_drop_limbs_and_per_ct_tv(rng):
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+def test_fused_blind_rotate_small_mb_matches_xla(rng):
+    """Multi-bit small kernel: the commuted form (one 4-pattern dot, then a
+    per-row negacyclic barrel roll of the dot output) is bit-exact vs the
+    XLA mb scan (word-domain combination, then one external product) —
+    linearity + the [g,-g]x[d,0] anti-periodicity argument, verified."""
+    from rs_tfhe_tpu.ops.blind_rotate import _mb_k_rows, blind_rotate_mb
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import (
+        fused_blind_rotate_small_mb,
+        mb_rows_per_pattern,
+        mb_small_eligible,
+        prepare_bsk_mb_vecs,
+    )
+
+    n0, n1 = KP.n0, KP.n1
+    bsk_mb = jnp.asarray(
+        rng.integers(
+            0, 1 << 32, (n0 // 2, 4, 2 * KP.trgsw_lv1.l, 2, n1),
+            dtype=np.uint32,
+        )
+    )
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+    vecs = prepare_bsk_mb_vecs(bsk_mb)
+    rb = mb_rows_per_pattern(KP)
+    for batch in (1, 2):
+        ct = jnp.asarray(
+            rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32)
+        )
+        ref = np.asarray(blind_rotate_mb(ct, tv, bsk_mb, KP))
+        b_til = ((2 * n1 - BR.modswitch(ct[:, n0], KP)) % (2 * n1)).astype(
+            jnp.int32
+        )
+        a_til = BR.modswitch(ct[:, :n0], KP)
+        assert mb_small_eligible(KP, batch, tv.ndim)
+        got = fused_blind_rotate_small_mb(
+            b_til,
+            _mb_k_rows(a_til[:, 0::2], a_til[:, 1::2], KP, rb),
+            tv, vecs, KP, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_blind_rotate_small_mb_drop_limbs_and_per_ct_tv(rng):
+    """mb kernel production flavors: 24-bit rounded pattern TRGSWs
+    (drop_limbs=1 — rounding survives both monomial rotation and the
+    4-pattern sum, so the zero low limb plane stays exact) and
+    per-ciphertext test vectors."""
+    import dataclasses
+
+    from rs_tfhe_tpu.key import round_bsk
+    from rs_tfhe_tpu.ops.blind_rotate import _mb_k_rows, blind_rotate_mb
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import (
+        fused_blind_rotate_small_mb,
+        mb_rows_per_pattern,
+        prepare_bsk_mb_vecs,
+    )
+
+    kp = dataclasses.replace(KP, bsk_round_bits=8)
+    batch, n0, n1 = 2, kp.n0, kp.n1
+    bsk_mb = round_bsk(
+        jnp.asarray(
+            rng.integers(
+                0, 1 << 32, (n0 // 2, 4, 2 * kp.trgsw_lv1.l, 2, n1),
+                dtype=np.uint32,
+            )
+        ),
+        kp.bsk_round_bits,
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (batch, 2, n1), dtype=np.uint32))
+    ref = np.asarray(blind_rotate_mb(ct, tv, bsk_mb, kp))
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], kp)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], kp)
+    got = fused_blind_rotate_small_mb(
+        b_til,
+        _mb_k_rows(a_til[:, 0::2], a_til[:, 1::2], kp,
+                   mb_rows_per_pattern(kp, 1)),
+        tv, prepare_bsk_mb_vecs(bsk_mb, drop_limbs=1), kp,
+        interpret=True, drop_limbs=1,
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
 def test_fused_blind_rotate_wide_tile_256(rng):
     """tile is a pure performance knob: tile=256 must match tile=128."""
     from rs_tfhe_tpu.ops.pallas_blind_rotate import fused_blind_rotate_wide
@@ -376,6 +458,20 @@ def test_cloudkey_precomputes_bsk_vecs():
     assert ck.bsk_vecs is not None
     np.testing.assert_array_equal(
         np.asarray(ck.bsk_vecs), np.asarray(prepare_bsk_vecs(ck.bsk))
+    )
+
+
+def test_cloudkey_precomputes_bsk_mb_vecs():
+    """CloudKey.generate(multibit=True) populates bsk_mb_vecs for
+    kernel-eligible sets, matching a fresh prepare_bsk_mb_vecs."""
+    from rs_tfhe_tpu.key import CloudKey, SecretKey
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import prepare_bsk_mb_vecs
+
+    sk = SecretKey.generate(jax.random.key(11), KP)
+    ck = CloudKey.generate(jax.random.key(12), sk, multibit=True)
+    assert ck.bsk_mb_vecs is not None
+    np.testing.assert_array_equal(
+        np.asarray(ck.bsk_mb_vecs), np.asarray(prepare_bsk_mb_vecs(ck.bsk_mb))
     )
 
 

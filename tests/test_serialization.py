@@ -117,3 +117,28 @@ def test_reenc_key_roundtrip_and_use(sk, sk_dirty, tmp_path):
     out = proxy_reenc.reencrypt(ct, rk2)
     np.testing.assert_array_equal(
         np.asarray(lwe_decrypt_bool(out, sk_dirty.lv0)), msgs)
+
+
+def test_cloud_key_mb_roundtrip_full_and_seeded(sk, tmp_path):
+    """Multi-bit key material survives both archive forms: the full archive
+    stores bsk_mb verbatim; the seeded archive stores only mb bodies + the
+    gadget-bearing mask coefficients and replays the masks from
+    fold_in(gen_seed, 0x6d62) — bit-exact."""
+    from rs_tfhe_tpu.key import CloudKey
+
+    ck = CloudKey.generate(jax.random.key(7), sk, multibit=True)
+    for seeded in (False, True):
+        p = tmp_path / f"ck_mb_{seeded}.npz"
+        save_cloud_key(p, ck, seeded=seeded)
+        ck2 = load_cloud_key(p)
+        assert ck2.bsk_mb is not None, seeded
+        np.testing.assert_array_equal(
+            np.asarray(ck.bsk_mb), np.asarray(ck2.bsk_mb)
+        )
+
+
+def test_cloud_key_without_mb_loads_without_mb(sk, ck, tmp_path):
+    p = tmp_path / "ck_plain.npz"
+    save_cloud_key(p, ck, seeded=True)
+    ck2 = load_cloud_key(p)
+    assert ck2.bsk_mb is None and ck2.bsk_mb_vecs is None
