@@ -107,6 +107,16 @@ def prewarm_set(pname: str, batch: int) -> None:
         t0 = time.perf_counter()
         _ = jax.block_until_ready(_make_chain(n)(a1, b1, ck))
         log(f"[prewarm] {n}-gate chain compiled: {time.perf_counter() - t0:.1f}s")
+    if _mb_enabled(params):
+        t0 = time.perf_counter()
+        ck_mb = CloudKey.generate(jax.random.key(7), sk, multibit=True)
+        _ = np.asarray(jax.device_get(ck_mb.bsk_mb.ravel()[0]))
+        log(f"[prewarm] mb keygen compiled: {time.perf_counter() - t0:.1f}s")
+        for n in (5, 25):
+            t0 = time.perf_counter()
+            _ = jax.block_until_ready(_make_chain(n)(a1, b1, ck_mb))
+            log(f"[prewarm] {n}-gate mb chain compiled: "
+                f"{time.perf_counter() - t0:.1f}s")
 
 
 def prewarm_guard(pnames: list[str], batch: int) -> None:
@@ -141,6 +151,18 @@ def prewarm_guard(pnames: list[str], batch: int) -> None:
             return
         log(f"[prewarm] attempt {attempt + 1} exited rc={rc} — retrying")
     log("[prewarm] giving up; parent will compile inline")
+
+
+def _mb_enabled(params) -> bool:
+    """Multi-bit latency pass: needs an even n0 + a small-kernel-eligible
+    set; RS_TFHE_BENCH_MB=0 skips it."""
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import small_param_ok
+
+    return (
+        os.environ.get("RS_TFHE_BENCH_MB", "1") == "1"
+        and params.n0 % 2 == 0
+        and small_param_ok(params)
+    )
 
 
 def measure(pname: str, batch: int, iters: int) -> dict:
@@ -199,30 +221,50 @@ def measure(pname: str, batch: int, iters: int) -> dict:
     a1, b1 = a[:1], b[:1]
     n_short, n_long = 5, 25
 
-    def min_time(fn, repeats=4):
-        _ = jax.block_until_ready(fn(a1, b1, ck))  # compile + warm
+    def min_time(fn, key, repeats=4):
+        _ = jax.block_until_ready(fn(a1, b1, key))  # compile + warm
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            cur = fn(a1, b1, ck)
+            cur = fn(a1, b1, key)
             _ = np.asarray(jax.device_get(cur[0, -1]))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_short = min_time(_make_chain(n_short))
-    t_long = min_time(_make_chain(n_long))
-    latency_ms = (t_long - t_short) / (n_long - n_short) * 1e3
-    log(
-        f"single-gate latency: {latency_ms:.1f} ms "
-        f"(chains {n_short}/{n_long}: {t_short * 1e3:.1f}/{t_long * 1e3:.1f} ms)"
-    )
+    def chain_slope(key):
+        t_short = min_time(_make_chain(n_short), key)
+        t_long = min_time(_make_chain(n_long), key)
+        ms = (t_long - t_short) / (n_long - n_short) * 1e3
+        log(
+            f"single-gate latency: {ms:.1f} ms (chains {n_short}/{n_long}: "
+            f"{t_short * 1e3:.1f}/{t_long * 1e3:.1f} ms)"
+        )
+        return ms
 
-    return {
+    latency_ms = chain_slope(ck)
+
+    res = {
         "gates_per_sec": round(gates_per_sec, 2),
         "latency_ms_b1": round(latency_ms, 2),
         "keygen_warm_ms": round(keygen_warm * 1e3, 1),
         "correctness": float(correct),
     }
+
+    if _mb_enabled(params):
+        # multi-bit (pair-grouped) latency: gates auto-route batches <= 2
+        # through the half-length chain when the key carries mb material
+        ck_mb = CloudKey.generate(jax.random.key(7), sk, multibit=True)
+        _ = np.asarray(jax.device_get(ck_mb.bsk_mb.ravel()[0]))
+        out_mb = jax.block_until_ready(batch_gate("nand", a1, b1, ck_mb))
+        ok = bool(
+            np.asarray(jax.device_get(lwe_decrypt_bool(out_mb, sk.lv0)))[0]
+            == ~(bits_a[0] & bits_b[0])
+        )
+        log(f"mb gate correct: {ok}")
+        res["latency_ms_b1_mb"] = round(chain_slope(ck_mb), 2)
+        if not ok:
+            res["mb_correct"] = False
+    return res
 
 
 def main() -> None:
@@ -257,6 +299,8 @@ def main() -> None:
         "latency_ms_b1": main_res["latency_ms_b1"],
         "keygen_warm_ms": main_res["keygen_warm_ms"],
     }
+    if "latency_ms_b1_mb" in main_res:
+        result["latency_ms_b1_mb"] = main_res["latency_ms_b1_mb"]
     if main_res["correctness"] < 1.0:
         result["correctness"] = main_res["correctness"]
 
@@ -266,6 +310,8 @@ def main() -> None:
         result["strict_params"] = "SECURITY_128_BIT"
         result["strict_gates_per_sec"] = strict["gates_per_sec"]
         result["strict_latency_ms_b1"] = strict["latency_ms_b1"]
+        if "latency_ms_b1_mb" in strict:
+            result["strict_latency_ms_b1_mb"] = strict["latency_ms_b1_mb"]
         result["strict_vs_baseline"] = round(
             strict["gates_per_sec"] / BASELINE_GATES_PER_SEC, 2
         )

@@ -413,7 +413,6 @@ def _kernel_small(
     n = params.n1
     g = params.trgsw_lv1
     j_rows = 2 * g.l
-    two_n = 2 * n
     step = pl.program_id(0)
     n_q = 4 - drop_limbs
 

@@ -155,6 +155,17 @@ def main():
                       chain=xor_into_body)
     record("gate_nand_b1_latency", dt * 1e3, "ms")
 
+    # --- multi-bit (pair-grouped) latency: half-length CMUX chain via a
+    # multibit=True CloudKey (gates auto-route batches <= 2 through it) ---
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import small_param_ok
+
+    if params.n0 % 2 == 0 and small_param_ok(params):
+        ck_mb = CloudKey.generate(jax.random.key(7), sk, multibit=True)
+        dt = timeit_slope(lambda a, b: gates.nand(a, b, ck_mb), a1, b1,
+                          chain=xor_into_body)
+        record("gate_nand_b1_latency_mb", dt * 1e3, "ms")
+        del ck_mb
+
     # --- gate throughput sweep (b10240 = BASELINE.json's "batch-10k
     # bootstrap wall-clock" config) ---
     for batch in (128, 2048, 4096, 10240):
@@ -342,6 +353,11 @@ def main():
         dt = timeit_slope(lambda x, y: gates.nand(x, y, cks),
                           sa[:1], sb[:1], chain=xor_into_body)
         record("gate_nand_b1_latency_STRICT", dt * 1e3, "ms")
+        cks_mb = CloudKey.generate(jax.random.key(61), sks, multibit=True)
+        dt = timeit_slope(lambda x, y: gates.nand(x, y, cks_mb),
+                          sa[:1], sb[:1], chain=xor_into_body)
+        record("gate_nand_b1_latency_STRICT_mb", dt * 1e3, "ms")
+        del cks_mb
 
         # the other two reference boolean sets, at their literal constants
         # (params.rs:91-146) — runtime-selectable here, where the reference

@@ -61,13 +61,15 @@ def _layers(a, b, ck):
     return a, b
 
 
-def soak_gates(pname: str, target_gates: int, key0: int = 100) -> dict:
+def soak_gates(pname: str, target_gates: int, key0: int = 100,
+               batch: int = BATCH, multibit: bool = False) -> dict:
     p = tfhe.ALL_SECURITY_SETS[pname]
     sk = tfhe.SecretKey.generate(jax.random.key(key0), p)
-    ck = tfhe.CloudKey.generate(jax.random.key(key0 + 1), sk)
+    ck = tfhe.CloudKey.generate(jax.random.key(key0 + 1), sk,
+                                multibit=multibit)
     rng = np.random.default_rng(1)
-    a_bits = rng.integers(0, 2, BATCH).astype(bool)
-    b_bits = rng.integers(0, 2, BATCH).astype(bool)
+    a_bits = rng.integers(0, 2, batch).astype(bool)
+    b_bits = rng.integers(0, 2, batch).astype(bool)
     a = tlwe.lwe_encrypt_bool(jax.random.key(key0 + 2), sk.lv0,
                               jnp.asarray(a_bits), p.tlwe_lv0.alpha)
     b = tlwe.lwe_encrypt_bool(jax.random.key(key0 + 3), sk.lv0,
@@ -89,7 +91,7 @@ def soak_gates(pname: str, target_gates: int, key0: int = 100) -> dict:
     a, b = a_w, b_w
     for _ in range(LAYERS // 2):
         a_bits, b_bits = (~(a_bits & b_bits), a_bits ^ b_bits)
-    gates_done += LAYERS * BATCH
+    gates_done += LAYERS * batch
     while gates_done < target_gates:
         a, b = run(a, b, ck)
         for _ in range(LAYERS // 2):
@@ -98,12 +100,14 @@ def soak_gates(pname: str, target_gates: int, key0: int = 100) -> dict:
         da = np.asarray(jax.device_get(da))
         db = np.asarray(jax.device_get(db))
         errors += int((da != a_bits).sum()) + int((db != b_bits).sum())
-        gates_done += LAYERS * BATCH
+        gates_done += LAYERS * batch
         if errors:
             break
     dt = time.perf_counter() - t0
     return {
         "params": pname,
+        "multibit": multibit,
+        "batch": batch,
         "gates": gates_done,
         "errors": errors,
         "seconds": round(dt, 1),
@@ -178,8 +182,19 @@ def main() -> None:
     artifact["nibble"] = nib
     with open(OUT, "w") as f:
         json.dump(artifact, f, indent=1)
+    # multi-bit latency path (CloudKey(multibit=True), B=2 chained layers):
+    # hardware evidence behind the mb margin model (FAST mb: 7.4 sigma,
+    # p ~ 2e-13/gate) — the path bench.py's latency_ms_b1_mb row measures
+    target_mb = int(float(os.environ.get("RS_TFHE_SOAK_MB_GATES", "3e5")))
+    print(f"soaking {target_mb:.0e} FAST mb gates (B=2) ...", flush=True)
+    mb = soak_gates("SECURITY_128_BIT_FAST", target_mb, key0=140,
+                    batch=2, multibit=True)
+    print(json.dumps(mb))
+    artifact["fast_mb"] = mb
+    with open(OUT, "w") as f:
+        json.dump(artifact, f, indent=1)
     print(f"wrote {OUT}")
-    ok = all(r["errors"] == 0 for r in (fast, strict, nib))
+    ok = all(r["errors"] == 0 for r in (fast, strict, nib, mb))
     print("SOAK", "PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -29,3 +29,7 @@ def test_soak_zero_errors():
             f"STRICT soak saw {strict['errors']} gate errors"
         )
         assert strict["gates"] >= 1_000_000
+    if "fast_mb" in art:  # multi-bit latency path (B=2, multibit key)
+        mb = art["fast_mb"]
+        assert mb["errors"] == 0, f"mb soak saw {mb['errors']} gate errors"
+        assert mb["gates"] >= 100_000 and mb["multibit"]
