@@ -533,7 +533,7 @@ def _kernel_small_mb(
     j_rows = 2 * g.l
     step = pl.program_id(0)
     n_q = 4 - drop_limbs
-    rb = mb_rows_per_pattern(params, drop_limbs)
+    rb = mb_rows_per_pattern(params, drop_limbs)  # = 2*n_q, no padding
 
     b_k = btil_ref[0, :, :]  # [B, 1] int32
 
@@ -550,7 +550,7 @@ def _kernel_small_mb(
     planes = _decompose_i8(acc, params)  # 2L x [dl=1] x [B, N] i8 (FULL acc:
     #                                      replacement form, not CMUX diff)
 
-    lhs = mbvec_ref[0]  # [4*RB, 2L*2N] i8, rows (v, o, q) zero-padded to RB
+    lhs = mbvec_ref[0]  # [4*RB, 2L*2N] i8, row v*RB + o*n_q + qi
     wch_all = _pack_digit_chain(planes, batch, n, j_rows)
 
     news = [[None, None] for _ in range(batch)]
@@ -561,18 +561,24 @@ def _kernel_small_mb(
             preferred_element_type=jnp.int32,
         )  # [4*RB, N]: rows v*RB + o*n_q + qi = limb-q plane of D (*) G_v[o]
         rolled = _barrel_rotate_2d(f, krows_ref[0, b], n)  # X^{k_v} per row
-        csum = rolled[0:rb, :]  # v-sum: RB-aligned sublane slices
-        for v in range(1, 4):
-            csum = csum + jax.lax.slice(rolled, (v * rb, 0), ((v + 1) * rb, n))
+        # v-sum folded into the limb recombination as 1-row slices of the
+        # dot result (the proven-safe Mosaic pattern) — no 8-row padding of
+        # the patterns, so the dot's M is exactly 4*2*n_q (25% fewer MACs
+        # at n_q=3 than the padded block-slice form)
         for o in range(2):
             uacc = jnp.zeros((1, n), dtype=jnp.uint32)
             for qi in range(n_q):
                 q = drop_limbs + qi
                 shift = 8 * q
                 if shift < TORUS_BITS:
-                    row = jax.lax.slice(
-                        csum, (o * n_q + qi, 0), (o * n_q + qi + 1, n)
-                    )
+                    row = None
+                    for v in range(4):
+                        r = jax.lax.slice(
+                            rolled,
+                            (v * rb + o * n_q + qi, 0),
+                            (v * rb + o * n_q + qi + 1, n),
+                        )
+                        row = r if row is None else row + r
                     uacc = uacc + (
                         jax.lax.bitcast_convert_type(row, jnp.uint32)
                         << jnp.uint32(shift)
@@ -588,27 +594,21 @@ def _kernel_small_mb(
 
 
 def mb_rows_per_pattern(params: TfheParams, drop_limbs: int = 0) -> int:
-    """Dot-output rows per indicator pattern, padded to the 8-sublane tile
-    so the v-sum's row-block slices stay aligned."""
-    n_q = 4 - drop_limbs
-    return ((2 * n_q + 7) // 8) * 8
+    """Dot-output rows per indicator pattern: one per (output poly, live
+    BSK limb)."""
+    return 2 * (4 - drop_limbs)
 
 
 def prepare_bsk_mb_vecs(bsk_mb: jax.Array, drop_limbs: int = 0) -> jax.Array:
     """uint32 [G, 4, 2L, 2, N] (key.gen_bootstrapping_key_mb) -> int8
-    [G, 4*RB, 2L*2N]: per pattern, the prepare_bsk_vecs layout (extended
-    limb planes as flat contraction vectors, row o*n_q + qi), zero-padded
-    from 2*n_q to RB rows per pattern."""
+    [G, 4*2*n_q, 2L*2N]: per pattern, the prepare_bsk_vecs layout (extended
+    limb planes as flat contraction vectors, row o*n_q + qi), patterns
+    stacked along the row dim."""
     g_ct, four, j2, two, n = bsk_mb.shape
     flat = prepare_bsk_vecs(
         bsk_mb.reshape(g_ct * four, j2, two, n), drop_limbs
     )  # [G*4, 2*n_q, 2L*2N]
-    rows = flat.shape[1]
-    rb = ((rows + 7) // 8) * 8
-    flat = flat.reshape(g_ct, four, rows, flat.shape[2])
-    if rb != rows:
-        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, rb - rows), (0, 0)))
-    return flat.reshape(g_ct, four * rb, -1)
+    return flat.reshape(g_ct, four * flat.shape[1], -1)
 
 
 def mb_small_eligible(params: TfheParams, batch: int, testvec_ndim: int) -> bool:
