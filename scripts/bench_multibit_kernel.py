@@ -123,7 +123,10 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     assert C.config.step_impl == "auto"
-    for batch in (1, 2):
+    batches = tuple(
+        int(x) for x in os.environ.get("RS_TFHE_BENCH_BATCHES", "1,2").split(",")
+    )
+    for batch in batches:
         ms_small, ms_mb = time_rotation(batch, params, ck_mb)
         print(json.dumps({
             "batch": batch,
@@ -141,10 +144,19 @@ def main() -> None:
                                   params.tlwe_lv0.alpha)
 
         ms_std = time_gate(a, b, ck)
-        out = gates.nand(a, b, ck_mb)  # mb key routes the grouped chain
-        dec = np.asarray(jax.device_get(tlwe.lwe_decrypt_bool(out, sk.lv0)))
-        ok = bool((dec == ~(bits_a & bits_b)).all())
-        ms_gate_mb = time_gate(a, b, ck_mb)
+        # auto routes mb only at B <= 2; force the kernel beyond that so the
+        # crossover can be probed
+        if batch > 2:
+            C.config.step_impl = "fused_small_mb"
+        try:
+            out = gates.nand(a, b, ck_mb)  # mb key routes the grouped chain
+            dec = np.asarray(
+                jax.device_get(tlwe.lwe_decrypt_bool(out, sk.lv0))
+            )
+            ok = bool((dec == ~(bits_a & bits_b)).all())
+            ms_gate_mb = time_gate(a, b, ck_mb)
+        finally:
+            C.config.step_impl = "auto"
         print(json.dumps({
             "batch": batch,
             "gate_ms_std": round(ms_std, 2),

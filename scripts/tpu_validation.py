@@ -120,6 +120,16 @@ def main() -> None:
         dec = np.asarray(jax.device_get(tlwe.lwe_decrypt_bool(out, sk.lv0)))
         check(f"gate {name}", (dec == fn(a_bits, b_bits)).all())
 
+    # -- multi-bit (pair-grouped) latency path: B<=2 auto-routes through
+    # the half-length chain when the key carries mb material ---------------
+    ck_mb = tfhe.CloudKey.generate(jax.random.key(7), sk, multibit=True)
+    out_mb = gates.batch_gate("nand", a[:2], b[:2], ck_mb)
+    record("nand_mb_128", out_mb)
+    dec = np.asarray(jax.device_get(tlwe.lwe_decrypt_bool(out_mb, sk.lv0)))
+    check("gate nand (multibit key, B=2)",
+          (dec == ~(a_bits[:2] & b_bits[:2])).all())
+    del ck_mb
+
     c_bits = rng.integers(0, 2, 64).astype(bool)
     c = tlwe.lwe_encrypt_bool(kc, sk.lv0, jnp.asarray(c_bits), alpha)
     out = gates.mux(a, b, c, ck)
