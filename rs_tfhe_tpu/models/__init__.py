@@ -16,6 +16,11 @@ from .circuits import (  # noqa: F401
     greater_than,
     sub,
 )
+from .sort import (  # noqa: F401
+    sort_bits,
+    sort_radix,
+    top_k_bits,
+)
 from .netlist import (  # noqa: F401
     Circuit,
     Gate,
