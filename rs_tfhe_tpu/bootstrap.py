@@ -51,18 +51,35 @@ def bootstrap_without_key_switch(ct: jax.Array, ck: CloudKey) -> jax.Array:
     return restore(sample_extract(acc, 0))
 
 
-def bootstrap_with_testvec(ct: jax.Array, testvec: jax.Array, ck: CloudKey) -> jax.Array:
+def bootstrap_with_testvec(
+    ct: jax.Array, testvec: jax.Array, ck: CloudKey,
+    allow_mb: bool | None = None,
+) -> jax.Array:
     """Programmable bootstrap against a caller-supplied test vector.
 
     ct: uint32 [..., n0+1]; testvec: uint32 [2, N] (shared) or [..., 2, N]
     (per-ciphertext LUTs). Reference: trgsw.rs:242-274 + bootstrap/lut.rs:79-99.
+
+    allow_mb: whether a multi-bit CloudKey may route tiny batches through the
+    pair-grouped chain. Default (None) applies the noise policy
+    `utils.noise.mb_lut_route_ok`: the route engages only where it moves
+    every LUT decision margin by < 1% (true at the certified RADIX/NIBBLE
+    sets, false at FAST/strict whose rotation noise dominates their budget).
+    Boolean-gate callers with their own published mb margins pass True
+    (bootstrap() above routes unconditionally — gates opted in via
+    CloudKey.generate(multibit=True)).
     """
+    if allow_mb is None:
+        from .utils.noise import mb_lut_route_ok
+
+        allow_mb = mb_lut_route_ok(ck.params)
     flat, restore = _flat(ct)
     if testvec.ndim > 2:
         testvec = testvec.reshape(-1, *testvec.shape[-2:])
     acc = blind_rotate(flat, testvec, ck.bsk, ck.params,
                        bsk_packed=ck.bsk_packed, bsk_vecs=ck.bsk_vecs,
-                       bsk_mb=ck.bsk_mb, bsk_mb_vecs=ck.bsk_mb_vecs)
+                       bsk_mb=ck.bsk_mb if allow_mb else None,
+                       bsk_mb_vecs=ck.bsk_mb_vecs if allow_mb else None)
     lv1 = sample_extract(acc, 0)
     return restore(identity_key_switch(lv1, ck.ksk_limbs, ck.params))
 
@@ -136,8 +153,9 @@ class LutBootstrap:
         +/-3/8) land exactly on that LUT's range boundaries, so gates
         evaluate correctly only ~50-80% of the time (confirmed empirically).
         The sign test vector is the correct identity over the boolean
-        encoding."""
-        return bootstrap_with_testvec(ct, ck.testvec, ck)
+        encoding. allow_mb=True: this is a boolean-gate decode with the
+        gates' own published mb margins, same as the vanilla path."""
+        return bootstrap_with_testvec(ct, ck.testvec, ck, allow_mb=True)
 
     def bootstrap_without_key_switch(self, ct, ck):
         """Same lv1 output contract as VanillaBootstrap (the reference's

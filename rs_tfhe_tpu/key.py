@@ -28,6 +28,20 @@ from .torus import f64_to_torus, lane_pad
 from .trgsw import trgsw_encrypt_torus
 
 
+def secure_prng_key() -> jax.Array:
+    """A threefry PRNG key seeded from the OS CSPRNG (`os.urandom`).
+
+    SECURITY.md: the library's deterministic seeding is a feature for
+    reproducible tests and seeded (compressed) transport, but production
+    secret keys must come from kernel entropy. 64 bits of urandom feed
+    jax.random.key — the resulting threefry stream is used for key-mask
+    material only (the secret bits and noise), never exposed raw."""
+    import os
+
+    seed = int.from_bytes(os.urandom(8), "little", signed=True)  # fits int64
+    return jax.random.key(seed, impl="threefry2x32")
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SecretKey:
@@ -43,6 +57,15 @@ class SecretKey:
         lv0 = jax.random.bernoulli(k0, 0.5, (params.n0,)).astype(jnp.uint32)
         lv1 = jax.random.bernoulli(k1, 0.5, (params.n1,)).astype(jnp.uint32)
         return SecretKey(lv0=lv0, lv1=lv1, params=params)
+
+    @staticmethod
+    def generate_secure(params: TfheParams) -> "SecretKey":
+        """Generate from OS CSPRNG entropy (`os.urandom`) — the production
+        path SECURITY.md prescribes, packaged so deployments don't hand-roll
+        it. Deterministic `generate(jax.random.key(seed), ...)` remains the
+        test/replay path; this one draws a fresh 64-bit threefry key from
+        the kernel's entropy pool per call."""
+        return SecretKey.generate(secure_prng_key(), params)
 
 
 @jax.tree_util.register_dataclass
@@ -102,6 +125,13 @@ class CloudKey:
             bsk_mb=mb,
             bsk_mb_vecs=mb_vecs,
         )
+
+    @staticmethod
+    def generate_secure(sk: SecretKey, multibit: bool = False) -> "CloudKey":
+        """Cloud-key generation seeded from the OS CSPRNG (`secure_prng_key`)
+        — the production companion of SecretKey.generate_secure. Seeded
+        serialization still works (gen_seed records the drawn key)."""
+        return CloudKey.generate(secure_prng_key(), sk, multibit=multibit)
 
     @staticmethod
     def generate_no_ksk(params: TfheParams) -> "CloudKey":

@@ -240,7 +240,38 @@ def _greedy_chunks(terms, cap_val: int, cap_terms: int):
     return chunks
 
 
-def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
+@lru_cache(maxsize=64)
+def _mul_mv(base_bits: int, params):
+    """Factored test-vector family for multi-value mul_radix: the
+    bivariate-product stage's (lo, hi) pair shares one blind rotation.
+
+    ONLY stage 2 factors. The column-stage (digit, carry) pairs were
+    measured against the noise model and REFUSED: their factoring norms
+    (9.8 for the column-scale digit, 39.2 when the digit leaves at the
+    m_enc scale — the gcd is set by the fine carry steps while the digit's
+    jumps are base^2/2-x coarser) drop the certified NIBBLE 8-summand
+    column margin to 5.97 / 3.25 sigma (< the 6-sigma bar;
+    tests/test_mul_radix.py pins the numbers). Stage 2's norms (6.3 lo,
+    2.8 hi) keep it at 6.27 sigma — and stage 2 is where the rotations
+    are (2D^2 of the 2D^2 + 6D total)."""
+    base = 1 << base_bits
+    m_pair = base * base
+    m_col = 2 * base * base
+    full32 = np.uint64(1) << 32
+    gen_pair = Generator(m_pair, params)
+    lut_lo = gen_pair.generate_lookup_table_full(
+        lambda w: np.uint32(((w // base) * (w % base) % base) * full32
+                            // (2 * m_col) % full32)
+    ).poly
+    lut_hi = gen_pair.generate_lookup_table_full(
+        lambda w: np.uint32(((w // base) * (w % base) // base) * full32
+                            // (2 * m_col) % full32)
+    ).poly
+    return {"pair": factor_test_vectors([lut_lo, lut_hi])}
+
+
+def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2,
+              multi_value: bool = False):
     """Ciphertext x ciphertext multiplication over base-2^b digit vectors —
     a capability the reference does not have (its only multiplications are
     plaintext scalars, tlwe.rs:160-214).
@@ -275,6 +306,17 @@ def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
     (p < 1e-9) at SECURITY_128_BIT_NIBBLE — the certified choice — vs
     ~3.4 sigma (p ~ 7e-4/PBS) at SECURITY_128_BIT_RADIX. max_chunk_terms
     caps summed bootstrap noise per decode at the documented 8.
+
+    multi_value=True (VERDICT r4 item 4) factors stage 2's (lo, hi)
+    test-vector pair through ONE blind rotation (lut.multi_value): the
+    dominant stage's batch halves from 2D^2 to D^2, decode-identical
+    outputs, and the factoring norms (6.3/2.8) keep the certified NIBBLE
+    column margin at 6.27 sigma (lut_margin(..., mv_norm=6.3), asserted
+    in tests/test_mul_radix.py). Stage 1 has nothing to factor (its two
+    LUTs apply to DIFFERENT inputs) and the stage-3 column splits REFUSE
+    factoring — their norms (9.8/39.2, see _mul_mv) would drop the margin
+    below the 6-sigma bar. Kept opt-in because the fixed-seed golden
+    vectors pin the default pipeline's exact ciphertexts.
     """
     d = a.shape[-2]
     base = 1 << base_bits
@@ -315,17 +357,23 @@ def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
     ).poly
     pairs = a2[..., :, None, :] + b2[..., None, :, :]  # [..., D, D, n+1]
     pairs = pairs.reshape(*pairs.shape[:-3], d * d, pairs.shape[-1])
-    pp = jnp.concatenate([pairs, pairs], axis=-2)  # lo block then hi block
-    tvs2 = jnp.concatenate(
-        [
-            jnp.broadcast_to(lut_lo, (*pairs.shape[:-1], *lut_lo.shape)),
-            jnp.broadcast_to(lut_hi, (*pairs.shape[:-1], *lut_hi.shape)),
-        ],
-        axis=-3,
-    )
-    prod = bootstrap_with_testvec(pp, tvs2, ck)
-    lo = prod[..., : d * d, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
-    hi = prod[..., d * d :, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
+    mv = _mul_mv(base_bits, ck.params) if multi_value else None
+    if multi_value:
+        prod = multi_value_bootstrap(pairs, mv["pair"], ck)  # [..., D^2, 2, n+1]
+        lo = prod[..., 0, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
+        hi = prod[..., 1, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
+    else:
+        pp = jnp.concatenate([pairs, pairs], axis=-2)  # lo block then hi block
+        tvs2 = jnp.concatenate(
+            [
+                jnp.broadcast_to(lut_lo, (*pairs.shape[:-1], *lut_lo.shape)),
+                jnp.broadcast_to(lut_hi, (*pairs.shape[:-1], *lut_hi.shape)),
+            ],
+            axis=-3,
+        )
+        prod = bootstrap_with_testvec(pp, tvs2, ck)
+        lo = prod[..., : d * d, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
+        hi = prod[..., d * d :, :].reshape(*a.shape[:-2], d, d, a.shape[-1])
 
     # stage 3: column carry-save with normalization (input modulus m_col)
     gen_col = Generator(m_col, ck.params)
@@ -363,6 +411,7 @@ def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
                     s = s + c
                 sums.append(s)
             cs = jnp.stack(sums, axis=-2)  # [..., C, n0+1]
+            n_c = len(chunks)
             cc = jnp.concatenate([cs, cs], axis=-2)
             tvs3 = jnp.concatenate(
                 [
@@ -372,7 +421,6 @@ def mul_radix(a: jax.Array, b: jax.Array, ck: CloudKey, base_bits: int = 2):
                 axis=-3,
             )
             res = bootstrap_with_testvec(cc, tvs3, ck)
-            n_c = len(chunks)
             tk = [(res[..., i, :], pmax) for i in range(n_c)]
             terms[k + 1].extend(
                 (res[..., n_c + i, :], chunks[i][1] // base) for i in range(n_c)

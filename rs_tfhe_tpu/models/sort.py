@@ -63,6 +63,10 @@ def _next_pow2(k: int) -> int:
 def _run_network(x: jax.Array, exchange) -> jax.Array:
     """Drive the schedule: x is [Kp, ...]; `exchange(a, b, desc)` returns the
     (new_lo, new_hi) batch for one stage's pair endpoints."""
+    # The fancy indexing below is HOST-SIDE orchestration between bootstrap
+    # dispatches over the tiny K axis, outside any jitted hot path — the
+    # CLAUDE.md no-gathers rule targets in-kernel/in-scan code. Restructure
+    # with static slices if the network ever moves inside jit.
     for lo, hi, desc in _bitonic_schedule(x.shape[0]):
         new_lo, new_hi = exchange(x[lo], x[hi], desc)
         x = x.at[lo].set(new_lo).at[hi].set(new_hi)
@@ -151,7 +155,6 @@ def sort_radix(
     if k <= 1:
         return x
     kp = _next_pow2(k)
-    d = x.shape[-2]
     if kp != k:
         base = 1 << base_bits
         maxdig = lwe_trivial_message(

@@ -90,9 +90,32 @@ def check(name: str, ok: bool) -> None:
     PASS += 1
 
 
+def check_mosaic_tripwire() -> None:
+    """CI tripwire (VERDICT r4 item 8): the s8-only MAC floor rests on
+    Mosaic rejecting s16xs16 dots (NOTES-PERF.md). The day a JAX/Mosaic
+    release unlocks them, this check FAILS LOUDLY — that failure means a
+    ~2.6x MAC-cut lever just became available and the kernels should be
+    revisited, not that anything is broken."""
+    if jax.devices()[0].platform != "tpu":
+        return
+    import probe_mosaic
+
+    s16_ok = True
+    try:
+        jax.block_until_ready(probe_mosaic.probe_dot(jnp.int16, 128, 1024, 256))
+    except Exception:
+        s16_ok = False
+    check(
+        "mosaic still rejects s16 dots (a FAILURE here = MAC-cut lever "
+        "unlocked; rerun scripts/probe_mosaic.py and see NOTES-PERF.md)",
+        not s16_ok,
+    )
+
+
 def main() -> None:
     p = tfhe.SECURITY_128_BIT
     print(f"device: {jax.devices()[0]}  params: {p.description}")
+    check_mosaic_tripwire()
     t0 = time.perf_counter()
     sk = tfhe.SecretKey.generate(jax.random.key(42), p)
     ck = tfhe.CloudKey.generate(jax.random.key(7), sk)

@@ -124,3 +124,23 @@ def test_profiling_timer_and_trace(tiny, sk, ck):
         lambda x, y, k: gates.nand(x, y, k), a, b, ck, iters=1
     )
     assert gps > 0
+
+
+def test_generate_secure_keys_work(tiny):
+    """SecretKey/CloudKey.generate_secure: OS-entropy-seeded production
+    keygen (SECURITY.md). Two draws must differ, and the resulting key
+    pair must evaluate a gate correctly."""
+    from rs_tfhe_tpu.key import CloudKey, SecretKey
+
+    sk1 = SecretKey.generate_secure(tiny)
+    sk2 = SecretKey.generate_secure(tiny)
+    assert not np.array_equal(np.asarray(sk1.lv0), np.asarray(sk2.lv0))
+    ck1 = CloudKey.generate_secure(sk1)
+    bits = jnp.asarray([True, False])
+    a = lwe_encrypt_bool(jax.random.key(1), sk1.lv0, bits, tiny.tlwe_lv0.alpha)
+    b = lwe_encrypt_bool(jax.random.key(2), sk1.lv0, ~bits, tiny.tlwe_lv0.alpha)
+    out = gates.nand(a, b, ck1)
+    from rs_tfhe_tpu.tlwe import lwe_decrypt_bool
+
+    assert np.array_equal(np.asarray(lwe_decrypt_bool(out, sk1.lv0)),
+                          [True, True])
