@@ -20,13 +20,14 @@ from rs_tfhe_tpu.tlwe import lwe_decrypt_bool, lwe_encrypt_bool
 
 
 def main():
-    args = parse_args(__doc__)
+    # --max_batch: largest batch in the sweep (CI smoke caps it on CPU)
+    args = parse_args(__doc__, max_batch=1024)
     sk, ck = make_keys(args.param_set)
     alpha = args.param_set.tlwe_lv0.alpha
     rng = np.random.default_rng(0)
 
     print(f"{'batch':>6} {'total ms':>10} {'ms/gate':>9} {'gates/s':>9}")
-    for batch in [1, 8, 64, 256, 1024]:
+    for batch in [b for b in [1, 8, 64, 256, 1024] if b <= args.max_batch]:
         bits_a = rng.integers(0, 2, batch).astype(bool)
         bits_b = rng.integers(0, 2, batch).astype(bool)
         ka, kb = jax.random.split(jax.random.key(3))

@@ -20,11 +20,12 @@ from _common import make_keys, parse_args, timed
 from rs_tfhe_tpu import models
 from rs_tfhe_tpu.bit_utils import decrypt_uint, encrypt_uint
 
-W = 8
-
-
 def main():
-    args = parse_args(__doc__)
+    # --n/--width: element count and bit width (the CI smoke run shrinks
+    # them to keep single-core CPU time in budget; the code paths are
+    # identical at any size)
+    args = parse_args(__doc__, n=4, width=8)
+    w = args.width
     sk, ck = make_keys(args.param_set)
     alpha = args.param_set.tlwe_lv0.alpha
     # digit size the parameter set's LUT margin certifies (same rule as
@@ -32,12 +33,12 @@ def main():
     base_bits = 3 if args.param_set.n1 >= 1024 else 2
 
     rng = np.random.default_rng(1)
-    vals = rng.integers(0, 1 << W, size=4).tolist()
+    vals = rng.integers(0, 1 << w, size=args.n).tolist()
     print(f"cleartext input : {vals}")
 
     cts = jnp.stack(
         [
-            encrypt_uint(jax.random.key(10 + i), sk.lv0, v, W, alpha)
+            encrypt_uint(jax.random.key(10 + i), sk.lv0, v, w, alpha)
             for i, v in enumerate(vals)
         ]
     )  # [K, W, n0+1]
@@ -49,7 +50,7 @@ def main():
     top = models.top_k_bits(cts, 2, ck, largest=True)
     print(f"top-2           : {[int(decrypt_uint(top[i], sk.lv0)) for i in range(2)]}")
 
-    rvals = rng.integers(0, 1 << (2 * base_bits), size=3)  # pads to 4
+    rvals = rng.integers(0, 1 << (2 * base_bits), size=max(args.n - 1, 2))
     rcts = jnp.stack(
         [
             models.encrypt_radix(

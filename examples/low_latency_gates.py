@@ -37,27 +37,30 @@ def chain(n, key):
     return run
 
 
-def measure(a, b, ck, label):
-    """Chain-length slope: (t25 - t5) / 20, min over repeats — cancels the
-    per-dispatch overhead a pipelined workload would not pay."""
-    short, long_ = chain(5, ck), chain(25, ck)
+def measure(a, b, ck, label, n_long=25, reps=3):
+    """Chain-length slope: (t_long - t5) / (n_long - 5), min over repeats —
+    cancels the per-dispatch overhead a pipelined workload would not pay."""
+    short, long_ = chain(5, ck), chain(n_long, ck)
     ts = []
     for fn in (short, long_):
         jax.block_until_ready(fn(a, b, ck))  # compile
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(a, b, ck)
             np.asarray(jax.device_get(out[0, -1]))
             best = min(best, time.perf_counter() - t0)
         ts.append(best)
-    ms = (ts[1] - ts[0]) / 20 * 1e3
+    ms = (ts[1] - ts[0]) / (n_long - 5) * 1e3
     print(f"[{label}] single-gate latency: {ms:.2f} ms")
     return ms
 
 
 def main():
-    args = parse_args(__doc__)
+    # --long/--reps: slope chain length and repeats (the CI smoke run
+    # shrinks them; compile time of the unrolled long chain dominates on
+    # a single CPU core)
+    args = parse_args(__doc__, long=25, reps=3)
     p = args.param_set
     sk = SecretKey.generate(jax.random.key(0), p)
     t0 = time.perf_counter()
@@ -85,8 +88,8 @@ def main():
     assert dec.tolist() == [True], dec  # NAND(1, 0) = 1
     print("[mb gate] correct")
 
-    ms_std = measure(a, b, ck, "standard key")
-    ms_mb = measure(a, b, ck_mb, "multibit key")
+    ms_std = measure(a, b, ck, "standard key", args.long, args.reps)
+    ms_mb = measure(a, b, ck_mb, "multibit key", args.long, args.reps)
     print(f"[speedup] {ms_std / ms_mb:.2f}x  (reference: ~15 ms/gate)")
 
 

@@ -36,28 +36,33 @@ DEMO = TfheParams(
 )
 
 BASE_BITS = 2  # base-4 digits
-D = 4          # 4 digits: 8-bit values in [0, 256)
-MOD = 1 << (BASE_BITS * D)
 
 
 def main():
-    args = parse_args(__doc__)
+    # --digits: operand width in base-4 digits (CI smoke shrinks to 2 —
+    # 4-bit values — to keep single-core CPU time in budget; identical
+    # code paths at any width)
+    args = parse_args(__doc__, digits=4)
+    d = args.digits
+    mod = 1 << (BASE_BITS * d)
     params = DEMO if args.params == "TEST_TINY" else args.param_set
     sk, ck = make_keys(params)
 
-    xs = np.array([100, 217, 42, 255])
-    ys = np.array([100, 58, 201, 0])
-    x = FheUintRadix.encrypt(jax.random.key(2), sk.lv0, xs, D, ck, BASE_BITS)
-    y = FheUintRadix.encrypt(jax.random.key(3), sk.lv0, ys, D, ck, BASE_BITS)
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, mod, 4)
+    ys = rng.integers(0, mod, 4)
+    ys[0] = xs[0]  # keep one equal pair for the compare demo
+    x = FheUintRadix.encrypt(jax.random.key(2), sk.lv0, xs, d, ck, BASE_BITS)
+    y = FheUintRadix.encrypt(jax.random.key(3), sk.lv0, ys, d, ck, BASE_BITS)
 
-    s = timed(f"x + y ({2 * D - 1} PBS)", lambda: x + y)
-    print(f"  {xs} + {ys} = {s.decrypt(sk.lv0)} (mod {MOD})")
-    assert (s.decrypt(sk.lv0) == (xs + ys) % MOD).all()
+    s = timed(f"x + y ({2 * d - 1} PBS)", lambda: x + y)
+    print(f"  {xs} + {ys} = {s.decrypt(sk.lv0)} (mod {mod})")
+    assert (s.decrypt(sk.lv0) == (xs + ys) % mod).all()
 
-    dsub = timed(f"x - y ({2 * D} PBS)", lambda: x - y)
-    assert (dsub.decrypt(sk.lv0) == (xs - ys) % MOD).all()
+    dsub = timed(f"x - y ({2 * d} PBS)", lambda: x - y)
+    assert (dsub.decrypt(sk.lv0) == (xs - ys) % mod).all()
 
-    p = timed("x * y (full-width ciphertext multiply, 56 PBS)", lambda: x * y)
+    p = timed("x * y (full-width ciphertext multiply)", lambda: x * y)
     print(f"  {xs} * {ys} = {p.decrypt(sk.lv0)}")
     assert (p.decrypt(sk.lv0) == xs.astype(np.int64) * ys).all()
 
@@ -81,7 +86,7 @@ def main():
     assert (back.decrypt(sk.lv0) == (xs ^ 0b111)).all()
 
     quadrupled = x.shift_digits(1)  # *4 mod 256, free
-    assert (quadrupled.decrypt(sk.lv0) == (xs * 4) % MOD).all()
+    assert (quadrupled.decrypt(sk.lv0) == (xs * 4) % mod).all()
     print("OK")
 
 

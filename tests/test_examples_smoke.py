@@ -12,9 +12,16 @@ import pytest
 
 EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
 
-#: per-example extra CLI flags to keep CPU runtime in budget
+#: per-example extra CLI flags to keep CPU runtime in budget (the flags
+#: shrink SIZES only — every code path still runs; full-size coverage of
+#: the same paths lives in the unit tests and scripts/tpu_validation.py)
 EXTRA_FLAGS = {
     "multi_chip_scaling.py": ["--batch", "64"],
+    "encrypted_sort.py": ["--n", "2", "--width", "4"],
+    "radix_integers.py": ["--digits", "2"],
+    "low_latency_gates.py": ["--long", "9", "--reps", "1"],
+    "ciphertext_multiply.py": ["--bits", "2", "--x", "3", "--y", "2"],
+    "batch_gates.py": ["--max_batch", "64"],
 }
 
 ALL_EXAMPLES = sorted(

@@ -46,9 +46,11 @@ def _dec_bool(ct, sk):
     return np.asarray(jax.device_get(lwe_decrypt_bool(ct, sk.lv0)))
 
 
-@pytest.mark.parametrize("d", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("d", [1, 2, 5])
 def test_compare_radix_tree_depths(mkeys, rng, d):
-    """Every tree shape: D=1 (single PBS), even, odd-leftover, two rounds."""
+    """Every tree shape class: D=1 (single PBS), D=2 (one even round),
+    D=5 (multi-round with odd leftovers at both levels — subsumes the
+    D=3/D=4 shapes, which were dropped to keep single-core CI time down)."""
     sk, ck = mkeys
     hi = 1 << (3 * d)
     xs = rng.integers(0, hi, 5)
@@ -62,7 +64,7 @@ def test_compare_radix_tree_depths(mkeys, rng, d):
     np.testing.assert_array_equal(_dec_bool(lt, sk), xs < ys)
 
 
-@pytest.mark.parametrize("d", [1, 2, 3, 5])
+@pytest.mark.parametrize("d", [1, 2, 5])
 def test_compare_radix_multi_value(mkeys, rng, d):
     """multi_value=True (one rotation per tree node, lut.multi_value)
     agrees with the default path on every tree shape."""
