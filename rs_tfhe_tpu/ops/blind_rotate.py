@@ -44,6 +44,10 @@ from .poly import (
 
 
 _FB_WIDE = 128  # wide-kernel batch granularity (its tile size)
+#: smallest (padded) batch `auto` sends to the wide kernel — a measured
+#: crossover constant (scripts/bench_latency_sweep.py); 0 = always when
+#: eligible, pending round-5 measurements.
+_WIDE_MIN_BATCH = 0
 
 
 def _use_pallas_step(params: TfheParams, batch: int) -> bool:
@@ -283,7 +287,7 @@ def blind_rotate(
             drop_limbs=drop,
         )
 
-    if config.step_impl in ("fused", "fused_wide", "auto"):
+    if config.step_impl in ("fused", "fused_wide", "fused_tile", "auto"):
         from .pallas_blind_rotate import (
             eligible,
             fused_blind_rotate,
@@ -303,7 +307,10 @@ def blind_rotate(
         fb = select_fb(batch, n1)
         pad = (-batch) % fb
         shapes_ok = eligible(params, batch + pad, testvec.ndim, fb=fb)
-        if config.step_impl == "fused":
+        if config.step_impl in ("fused", "fused_tile"):
+            # "fused_tile" forces the per-tile kernel even where the wide
+            # kernel is eligible (A/B harness for the batch-region tuning,
+            # scripts/bench_latency_sweep.py)
             if not shapes_ok:
                 raise ValueError("fused blind rotate: shape/testvec not eligible")
             if not on_tpu:
@@ -321,6 +328,7 @@ def blind_rotate(
                 raise ValueError("wide blind rotate: Mosaic kernel requires TPU")
         use_wide = config.step_impl == "fused_wide" or (
             config.step_impl in ("fused", "auto") and wide_ok
+            and batch + ((-batch) % _FB_WIDE) >= _WIDE_MIN_BATCH
         )
         if use_wide and on_tpu:
             # step-major whole-batch-resident kernel: the per-step circulant

@@ -151,6 +151,19 @@ def main() -> None:
     dec = np.asarray(jax.device_get(tlwe.lwe_decrypt_bool(out_mb, sk.lv0)))
     check("gate nand (multibit key, B=2)",
           (dec == ~(a_bits[:2] & b_bits[:2])).all())
+
+    # mb bootstrap output noise vs the estimate(mb_group=2) model — the
+    # round-5 direct measurement (measure_mb_noise.py: ratio ~0.81 at this
+    # set over 4096 samples); the model must stay conservative but honest.
+    # TPU-only: 256 production-set bootstraps are seconds on the chip,
+    # minutes on the single CPU core.
+    if jax.devices()[0].platform == "tpu":
+        import measure_mb_noise
+
+        row = measure_mb_noise.measure_set(
+            "SECURITY_128_BIT", 128, True, sk, ck_mb)
+        check("mb phase noise within model (0.5 <= measured/model <= 1.15)",
+              0.5 <= row["ratio"] <= 1.15 and row["gate_errors"] == 0)
     del ck_mb
 
     c_bits = rng.integers(0, 2, 64).astype(bool)
