@@ -44,10 +44,16 @@ from .poly import (
 
 
 _FB_WIDE = 128  # wide-kernel batch granularity (its tile size)
-#: smallest (padded) batch `auto` sends to the wide kernel — a measured
-#: crossover constant (scripts/bench_latency_sweep.py); 0 = always when
-#: eligible, pending round-5 measurements.
-_WIDE_MIN_BATCH = 0
+
+
+def mb_route_batch_cap(params: TfheParams) -> int:
+    """Largest batch `auto` routes through the multi-bit chain — a measured
+    crossover (LATENCY_SWEEP_r05.json, v5e 2026-08): at L=2 (FAST) mb wins
+    only to B=2 (B=4: 5.7 ms vs 5.4 per-tile), at L=3 (strict boolean sets)
+    the heavier per-step dot keeps the half-length chain ahead to B=4
+    (7.9 ms vs 8.5); by B=8 the per-tile kernel wins everywhere (FAST 5.8
+    vs 10.6, strict 8.8 vs 15.4)."""
+    return 4 if params.trgsw_lv1.l >= 3 else 2
 
 
 def _use_pallas_step(params: TfheParams, batch: int) -> bool:
@@ -127,7 +133,8 @@ def blind_rotate_mb(
 
     on_tpu = jax.devices()[0].platform == "tpu"
     use_kernel = config.step_impl == "fused_small_mb" or (
-        config.step_impl == "auto" and on_tpu and batch <= 2
+        config.step_impl == "auto" and on_tpu
+        and batch <= mb_route_batch_cap(params)
     )
     if use_kernel:
         from .pallas_blind_rotate import (
@@ -231,9 +238,11 @@ def blind_rotate(
     # batches is circulant-build-bound and grouping halves the steps; the
     # batched throughput kernels' cost scales with BSK entries contracted
     # per rotation (2x n0 for mb), so larger batches keep the CMUX form.
+    # Batch cap per parameter set = the measured crossover (mb_route_batch_cap).
     if bsk_mb is not None and (
         config.step_impl == "fused_small_mb"
-        or (config.step_impl == "auto" and batch <= 2)
+        or (config.step_impl == "auto"
+            and batch <= mb_route_batch_cap(params))
     ):
         return blind_rotate_mb(
             ct, testvec, bsk_mb, params, bsk_mb_vecs=bsk_mb_vecs
@@ -326,9 +335,14 @@ def blind_rotate(
                 )
             if not on_tpu:
                 raise ValueError("wide blind rotate: Mosaic kernel requires TPU")
+        # Routing in the B = 4..128 region was measured exhaustively in
+        # round 5 (scripts/bench_latency_sweep.py -> LATENCY_SWEEP_r05.json):
+        # the per-tile kernel ties or wins at every batch there (e.g. FAST
+        # B=4: 5.4 ms tile vs 5.7 mb vs 9.4 commuted-small; B=8: 5.8 vs
+        # 10.6 mb), so the existing crossovers — mb/commuted at B <= 2,
+        # wide from its >= 256 eligibility — stand as measured optima.
         use_wide = config.step_impl == "fused_wide" or (
             config.step_impl in ("fused", "auto") and wide_ok
-            and batch + ((-batch) % _FB_WIDE) >= _WIDE_MIN_BATCH
         )
         if use_wide and on_tpu:
             # step-major whole-batch-resident kernel: the per-step circulant

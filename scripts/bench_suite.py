@@ -270,6 +270,86 @@ def main():
                     chain=lambda out, cur: (cur[0] + (jnp.sum(out) & jnp.uint32(1)),))
         record("nussbaumer_step_b2048", 2048 / dt, "ops/s")
 
+    # --- circuit-level machinery on hardware (VERDICT r4 item 3): the
+    # netlist-scheduled 32-bit ripple-carry adder, its gate-at-a-time
+    # counterpart (the reference's dispatch model, add_two_numbers.rs:98-113),
+    # the Kogge-Stone adder, and an encrypted bit-circuit sort ---
+    from rs_tfhe_tpu.bit_utils import decrypt_uint, encrypt_uint
+    from rs_tfhe_tpu.models import netlist, sort_bits
+
+    ckt, a_w, b_w, sums = netlist.ripple_carry_adder(32)
+    the_plan = netlist.plan(ckt)
+    n_boot = sum(1 for g in ckt.gates if g.op not in ("not", "copy"))
+    xv, yv = 0xDEADBEEF, 0x12345678
+    ea = encrypt_uint(jax.random.key(70), sk.lv0, xv, 32, params.tlwe_lv0.alpha)
+    eb = encrypt_uint(jax.random.key(71), sk.lv0, yv, 32, params.tlwe_lv0.alpha)
+    inputs = jnp.concatenate([ea, eb], axis=0)
+    ck_mb = CloudKey.generate(jax.random.key(7), sk, multibit=True)
+
+    def run_plan(pl_, key):
+        wires = netlist.evaluate(ckt, inputs, key, pl_)
+        _ = np.asarray(jax.device_get(wires.ravel()[0]))
+        return wires
+
+    wires = run_plan(the_plan, ck_mb)  # warm + correctness
+    got = decrypt_uint(wires[jnp.asarray(sums)], sk.lv0)
+    assert int(got) == (xv + yv) % (1 << 32), got
+    for label, key in (("circuit_rc_adder32_wall", ck),
+                       ("circuit_rc_adder32_wall_mb", ck_mb)):
+        best = float("inf")
+        run_plan(the_plan, key)  # warm this key's executables
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_plan(the_plan, key)
+            best = min(best, time.perf_counter() - t0)
+        record(label, best * 1e3, "ms")
+        if key is ck_mb:
+            record("circuit_rc_adder32_rate_mb", n_boot / best, "gates/s")
+
+    # gate-at-a-time: singleton groups in the same order — the reference's
+    # sequential dispatch model; the plan-group batching must beat it
+    order = the_plan.order
+    op_names = [ckt.gates[int(g)].op for g in order]
+    lvls = [int(the_plan.levels[int(g)]) for g in order]
+    singles = netlist.Plan(
+        levels=the_plan.levels, order=order,
+        groups=[(i, i + 1, op_names[i], lvls[i]) for i in range(len(order))],
+        n_levels=the_plan.n_levels,
+    )
+    run_plan(singles, ck_mb)  # warm
+    t0 = time.perf_counter()
+    run_plan(singles, ck_mb)
+    record("circuit_rc_adder32_gate_at_a_time_wall",
+           (time.perf_counter() - t0) * 1e3, "ms")
+
+    # Kogge-Stone 32-bit add (the batched-parallel adder: ~2+log2 W levels)
+    from rs_tfhe_tpu.models.circuits import add_kogge_stone
+
+    _ = np.asarray(jax.device_get(add_kogge_stone(ea, eb, ck).ravel()[0]))
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = np.asarray(jax.device_get(add_kogge_stone(ea, eb, ck).ravel()[0]))
+        best = min(best, time.perf_counter() - t0)
+    record("kogge_stone_add32_wall", best * 1e3, "ms")
+
+    # encrypted sort: K=8 8-bit integers, bitonic network of batched gate
+    # comparators + swap-MUXes (boolean margins — FAST-safe)
+    vals = rng.integers(0, 256, 8)
+    scts = jnp.stack([
+        encrypt_uint(jax.random.key(80 + i), sk.lv0, int(v), 8,
+                     params.tlwe_lv0.alpha)
+        for i, v in enumerate(vals)
+    ])
+    sorted_cts = sort_bits(scts, ck)  # warm + correctness
+    got = [int(decrypt_uint(sorted_cts[i], sk.lv0)) for i in range(8)]
+    assert got == sorted(vals.tolist()), got
+    t0 = time.perf_counter()
+    out = sort_bits(scts, ck)
+    _ = np.asarray(jax.device_get(out.ravel()[0]))
+    record("sort8x8bit_gates_wall", (time.perf_counter() - t0) * 1e3, "ms")
+    del ck_mb
+
     # --- proxy re-encryption hop ---
     sk_b = SecretKey.generate(jax.random.key(9), params)
     rk = proxy_reenc.new_symmetric(jax.random.key(10), sk.lv0, sk_b.lv0, params)
@@ -293,6 +373,29 @@ def main():
         dt = timeit(lambda x, y, k: add_radix(x, y, k, base_bits=4), ra, rb,
                     ckr, iters=1)
         record("radix_nibble_add8_b64_RADIX", dt * 1e3 / 64, "ms/add")
+
+        # encrypted radix sort, K=8 6-bit values (2 base-8 digits) at the
+        # certified base-8 set (FAST cannot host the modulus-16 combine
+        # margins — 2.2 sigma; RADIX certifies them at 7.3): PBS trichotomy
+        # comparators + select swaps (VERDICT r4 item 3)
+        from rs_tfhe_tpu.models import decrypt_radix as _dec_radix
+        from rs_tfhe_tpu.models import sort_radix
+
+        svals = rng.integers(0, 64, 8)
+        rcts = jnp.stack([
+            encrypt_radix(jax.random.key(90 + i), skr.lv0,
+                          np.array(int(v)), 2, pr, base_bits=3)
+            for i, v in enumerate(svals)
+        ])
+        rsorted = sort_radix(rcts, ckr, base_bits=3)  # warm + correctness
+        rgot = [int(_dec_radix(rsorted[i], skr.lv0, base_bits=3))
+                for i in range(8)]
+        assert rgot == sorted(svals.tolist()), rgot
+        t0 = time.perf_counter()
+        out = sort_radix(rcts, ckr, base_bits=3)
+        _ = np.asarray(jax.device_get(out.ravel()[0]))
+        record("sort8_radix_wall_RADIX", (time.perf_counter() - t0) * 1e3,
+               "ms")
 
         pu = ALL_SECURITY_SETS["SECURITY_UINT4"]
         sku = SecretKey.generate(jax.random.key(40), pu)
@@ -335,6 +438,29 @@ def main():
         dt = timeit(lambda x, y, k: mul_radix(x, y, k, base_bits=2), wa, wb,
                     ckb, iters=1)
         record("mul16x16_b16_NIBBLE", dt * 1e3 / 16, "ms/mul")
+        # multi-value stage-2 factoring (one rotation for the (lo, hi)
+        # pair — VERDICT r4 item 4); decode-identical, margin 6.27 sigma
+        prod = mul_radix(wa, wb, ckb, base_bits=2, multi_value=True)
+        got = np.asarray(decrypt_radix(prod, skb.lv0, base_bits=2))
+        assert (got == xs16 * ys16).all(), "mul16 mv correctness"
+        dt = timeit(lambda x, y, k: mul_radix(x, y, k, base_bits=2,
+                                              multi_value=True),
+                    wa, wb, ckb, iters=1)
+        record("mul16x16_b16_NIBBLE_mv", dt * 1e3 / 16, "ms/mul")
+
+        # 8-bit x 8-bit (no normalization rounds: 2D^2+6D = 56 PBS std)
+        xs8b = rng.integers(0, 256, 16)
+        ys8b = rng.integers(0, 256, 16)
+        va = encrypt_radix(jax.random.key(56), skb.lv0, xs8b, 4, pb, base_bits=2)
+        vb = encrypt_radix(jax.random.key(57), skb.lv0, ys8b, 4, pb, base_bits=2)
+        for mv, tag in ((False, ""), (True, "_mv")):
+            prod = mul_radix(va, vb, ckb, base_bits=2, multi_value=mv)
+            got = np.asarray(decrypt_radix(prod, skb.lv0, base_bits=2))
+            assert (got == xs8b * ys8b).all(), f"mul8 mv={mv} correctness"
+            dt = timeit(lambda x, y, k: mul_radix(x, y, k, base_bits=2,
+                                                  multi_value=mv),
+                        va, vb, ckb, iters=1)
+            record(f"mul8x8_b16_NIBBLE{tag}", dt * 1e3 / 16, "ms/mul")
 
         # apples-to-apples at the literal SECURITY_128_BIT the baseline
         # names (L=3, Bg=2^6, reference params.rs:379-404) — the FAST
@@ -385,6 +511,13 @@ def main():
         "params": pname,
         "metrics": RESULTS,
     }
+    # attach the measured B=1..128 latency-vs-batch table when present
+    # (scripts/bench_latency_sweep.py — VERDICT r4 item 2)
+    sweep_path = os.path.join(os.path.dirname(__file__), "..",
+                              "LATENCY_SWEEP_r05.json")
+    if os.path.exists(sweep_path):
+        with open(sweep_path) as f:
+            out["latency_vs_batch"] = json.load(f)["rows"]
     with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_SUITE.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

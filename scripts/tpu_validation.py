@@ -200,6 +200,20 @@ def main() -> None:
     record("kogge_stone_128", es)
     check("kogge-stone 16-bit add", decrypt_uint(es, sk.lv0) == (x + y) % 65536)
 
+    # -- netlist scheduler at production params (VERDICT r4 item 3): the
+    # level-grouped plan (C++ planner when built) drives the same 16-bit
+    # add through batched per-group dispatches ---------------------------
+    from rs_tfhe_tpu.models import netlist
+
+    ckt, _, _, sums = netlist.ripple_carry_adder(16)
+    the_plan = netlist.plan(ckt)
+    wires = netlist.evaluate(ckt, jnp.concatenate([ea, eb], axis=0), ck,
+                             the_plan)
+    got = decrypt_uint(wires[jnp.asarray(sums)], sk.lv0)
+    check("netlist-scheduled 16-bit ripple-carry add "
+          f"({len(the_plan.groups)} plan groups, {len(ckt.gates)} gates)",
+          int(got) == (x + y) % 65536)
+
     # -- proxy re-encryption (asymmetric) ------------------------------------
     bob = tfhe.SecretKey.generate(jax.random.key(10), p)
     bob_pk = pre.PublicKeyLv0.generate(jax.random.key(11), bob.lv0, p)
