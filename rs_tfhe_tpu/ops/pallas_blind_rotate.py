@@ -238,7 +238,7 @@ def _kernel(
 def _kernel_wide(
     tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *rhs_refs,
     params: TfheParams, per_ct_tv: bool = False, drop_limbs: int = 0,
-    tile: int = _FB,
+    tile: int = _FB, joint_rot: bool = False,
 ):
     """Step-major variant: grid = (batch_supers, n0, batch_tiles) with the
     WHOLE super-batch accumulator resident in VMEM. The per-step circulant
@@ -295,10 +295,38 @@ def _kernel_wide(
 
     a_k = atil_ref[0, pl.ds(t0, tile), :]  # [tile, 1] int32
     acc = [out_ref[pl.ds(t0, tile), poly, :] for poly in range(2)]
-    diffs = [
-        _barrel_rotate_2d(acc[poly], a_k, n) - acc[poly] for poly in range(2)
-    ]
-    planes = _decompose_i8(diffs, params)  # 2L rows x dl planes [tile, N] i8
+    if joint_rot:
+        # Round-5 bounded MFU attempt: rotate + decompose BOTH polys as one
+        # [2*tile, N] value — half the VPU op count at double the op size
+        # (the per-tile rotate/decompose chain is the measured 28% residual
+        # the ablations call un-hideable). A/B: scripts/bench_wide_joint.py.
+        acc2 = jnp.concatenate(acc, axis=0)  # [2*tile, N]
+        k2 = jnp.concatenate([a_k, a_k], axis=0)
+        diff2 = _barrel_rotate_2d(acc2, k2, n) - acc2
+        g_ = params.trgsw_lv1
+        offset = jnp.uint32(
+            (params.decomposition_offset + params.decomposition_round_bit)
+            & 0xFFFFFFFF
+        )
+        tmp2 = diff2 + offset
+        mask = jnp.uint32(g_.bg - 1)
+        half = jnp.int32(g_.half_bg)
+        planes = [None] * (2 * g_.l)
+        for i in range(g_.l):
+            shift = jnp.uint32(TORUS_BITS - (i + 1) * g_.bgbit)
+            d2 = ((tmp2 >> shift) & mask).astype(jnp.int32) - half
+            d8 = d2.astype(jnp.int8)  # digit_limbs == 1 under wide_eligible
+            for poly in range(2):
+                planes[poly * g_.l + i] = [
+                    jax.lax.slice(d8, (poly * tile, 0),
+                                  (poly * tile + tile, n))
+                ]
+    else:
+        diffs = [
+            _barrel_rotate_2d(acc[poly], a_k, n) - acc[poly]
+            for poly in range(2)
+        ]
+        planes = _decompose_i8(diffs, params)  # 2L rows x dl [tile, N] i8
 
     # K-concat the 2L rows per digit-limb: one wide lhs per dl
     lhs = [
@@ -782,7 +810,8 @@ def select_super(params: TfheParams, batch: int, drop_limbs: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "interpret", "drop_limbs", "super_b", "tile"),
+    static_argnames=("params", "interpret", "drop_limbs", "super_b", "tile",
+                     "joint_rot"),
 )
 def fused_blind_rotate_wide(
     b_til: jax.Array,
@@ -794,6 +823,7 @@ def fused_blind_rotate_wide(
     drop_limbs: int = 0,
     super_b: int | None = None,
     tile: int = _FB,
+    joint_rot: bool = False,
 ) -> jax.Array:
     """Step-major whole-batch-resident variant of `fused_blind_rotate` —
     same contract (see it for argument shapes), restricted to batches that
@@ -814,6 +844,7 @@ def fused_blind_rotate_wide(
     kernel = functools.partial(
         _kernel_wide, params=params, per_ct_tv=per_ct_tv,
         drop_limbs=drop_limbs, tile=tile,
+        joint_rot=joint_rot and params.digit_limbs == 1,
     )
     tv_spec = (
         pl.BlockSpec((sb, 2, n), lambda bs, st, ft: (bs, 0, 0),

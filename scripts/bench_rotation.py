@@ -56,6 +56,8 @@ def main():
     tile = int(os.environ.get("RS_TFHE_TILE", "128"))
     super_b = os.environ.get("RS_TFHE_SUPER")
     super_b = int(super_b) if super_b else None
+    # RS_TFHE_JOINT=1: joint two-poly rotate/decompose (round-5 VPU A/B)
+    joint = os.environ.get("RS_TFHE_JOINT", "0") == "1"
 
     @jax.jit
     def chained(tv, b, a, pk):
@@ -64,7 +66,7 @@ def main():
             if wide:
                 acc = fused_blind_rotate_wide(
                     b, a, tv, pk, params, drop_limbs=drop,
-                    super_b=super_b, tile=tile,
+                    super_b=super_b, tile=tile, joint_rot=joint,
                 )
             else:
                 acc = fused_blind_rotate(

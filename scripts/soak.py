@@ -4,9 +4,11 @@ The p_fail headlines (SECURITY_128_BIT_FAST ~3e-19/gate model;
 SECURITY_128_BIT_NIBBLE < 1e-9/PBS model) previously rested on the noise
 model plus a single 4096x5 bench run — and round 2's "margin trap"
 (NOTES-PERF.md) proved such models can be silently 2x wrong. This script
-buys hardware evidence: ~10^7 bootstrapped gates at FAST, ~2x10^6 at the
-literal SECURITY_128_BIT reference set, and >= 10^4 nibble adds (3 PBS
-each) at NIBBLE, decrypting EVERY output and counting errors (expect 0).
+buys hardware evidence: ~10^7 bootstrapped gates at FAST, ~10^7 at the
+literal SECURITY_128_BIT reference set (equalized in round 5 — VERDICT r4
+weak item 3), >= 10^4 nibble adds (3 PBS each) at NIBBLE, and >= 10^6
+multi-bit-routed gates (up from 3e5; with the round-5 direct phase-noise
+measurement, MB_NOISE_r05.json, the mb margin is evidence-backed twice), decrypting EVERY output and counting errors (expect 0).
 Mirrors the reference's statistical-test style (tlwe.rs:281-304,
 10,000-trial) at 1000x the trial count.
 
@@ -17,7 +19,7 @@ encryption noise — is what each bootstrap must absorb.
     python scripts/soak.py                       # full (~25 min on v5e)
     RS_TFHE_SOAK_GATES=2e4 RS_TFHE_SOAK_ADDS=64 python scripts/soak.py
 
-Writes SOAK_r04.json at the repo root; tests/test_soak_artifact.py
+Writes SOAK_r05.json at the repo root; tests/test_soak_artifact.py
 asserts errors == 0 on the newest artifact present.
 """
 
@@ -45,7 +47,7 @@ from rs_tfhe_tpu import gates, models, tlwe
 
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "SOAK_r04.json",
+    "SOAK_r05.json",
 )
 
 #: gates per jitted dispatch layer pair (see _layers): one NAND + one XOR
@@ -160,7 +162,7 @@ def main() -> None:
     print(f"device: {jax.devices()[0]}")
     # write after each phase so a timeout kill keeps the finished phase
     target_strict = int(float(os.environ.get("RS_TFHE_SOAK_STRICT_GATES",
-                                              "2e6")))
+                                              "1e7")))
     artifact: dict = {"ts": time.time()}
     print(f"soaking {target_gates:.0e} FAST gates ...", flush=True)
     fast = soak_gates("SECURITY_128_BIT_FAST", target_gates)
@@ -185,7 +187,7 @@ def main() -> None:
     # multi-bit latency path (CloudKey(multibit=True), B=2 chained layers):
     # hardware evidence behind the mb margin model (FAST mb: 7.4 sigma,
     # p ~ 2e-13/gate) — the path bench.py's latency_ms_b1_mb row measures
-    target_mb = int(float(os.environ.get("RS_TFHE_SOAK_MB_GATES", "3e5")))
+    target_mb = int(float(os.environ.get("RS_TFHE_SOAK_MB_GATES", "1e6")))
     print(f"soaking {target_mb:.0e} FAST mb gates (B=2) ...", flush=True)
     mb = soak_gates("SECURITY_128_BIT_FAST", target_mb, key0=140,
                     batch=2, multibit=True)

@@ -491,3 +491,27 @@ def test_wide_eligibility_is_the_measured_crossover():
     for p in (tfhe.SECURITY_80_BIT, tfhe.SECURITY_110_BIT,
               tfhe.SECURITY_128_BIT, tfhe.SECURITY_UINT1):
         assert not wide_eligible(p, 4096, 2, drop(p)), p.description
+
+
+def test_fused_blind_rotate_wide_joint_rot_matches(rng):
+    """joint_rot=True (both polys rotated + decomposed as one [2*tile, N]
+    value — the round-5 VPU-shrink A/B) is bit-exact vs the default."""
+    from rs_tfhe_tpu.ops.pallas_blind_rotate import fused_blind_rotate_wide
+
+    batch, n0, n1 = 256, KP.n0, KP.n1
+    bsk = jnp.asarray(
+        rng.integers(0, 1 << 32, (n0, 2 * KP.trgsw_lv1.l, 2, n1), dtype=np.uint32)
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], KP)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], KP).T
+    packed = prepare_bsk_limbs(bsk)
+    ref = np.asarray(fused_blind_rotate_wide(
+        b_til, a_til, tv, packed, KP, interpret=True, super_b=256))
+    got = fused_blind_rotate_wide(
+        b_til, a_til, tv, packed, KP, interpret=True, super_b=256,
+        joint_rot=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), ref)
