@@ -14,6 +14,7 @@ from .circuits import (  # noqa: F401
     equals,
     divmod_bits,
     greater_than,
+    mul_csa,
     sub,
 )
 from .sort import (  # noqa: F401

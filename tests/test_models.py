@@ -98,3 +98,18 @@ def test_apply_lut_radix(sk, ck):
         models.decrypt_radix(out, sk.lv0, BASE_BITS)
     )  # low 2 bits of x^2 mod 8
     np.testing.assert_array_equal(got & 3, np.array([(v * v) % 8 for v in vals]) & 3)
+
+
+def test_mul_csa(sk, ck):
+    """Carry-save multiplier (circuits.mul_csa): W=5 exercises odd leftover
+    rows in the 3:2 reduction tree; values wrap mod 2^W."""
+    import jax.numpy as jnp
+    from rs_tfhe_tpu.bit_utils import encrypt_uint as enc
+
+    w = 5
+    for x, y in [(21, 19), (0, 31), (31, 31), (7, 9)]:
+        a = enc(jax.random.key(60), sk.lv0, x, w, sk.params.tlwe_lv0.alpha)
+        b = enc(jax.random.key(61), sk.lv0, y, w, sk.params.tlwe_lv0.alpha)
+        out = models.mul_csa(a, b, ck)
+        assert out.shape[-2] == w
+        assert decrypt_uint(out, sk.lv0) == (x * y) % (1 << w), (x, y)
