@@ -26,6 +26,7 @@ from .netlist import (  # noqa: F401
     Circuit,
     Gate,
     Plan,
+    compile_circuit,
     evaluate,
     plan,
     ripple_carry_adder,

@@ -240,6 +240,57 @@ def evaluate(
     return wires
 
 
+def compile_circuit(circuit: Circuit, the_plan: Plan | None = None):
+    """Compile the whole execution plan into ONE jitted device program.
+
+    `evaluate` dispatches each plan group separately (~100 host round trips
+    for the 32-bit adder — measured 1.52 s on v5e where the bootstrap math
+    itself is ~0.3 s). The returned `run(inputs, ck)` closes over the static
+    plan (gather/scatter indices bake in as constants) and jits the entire
+    group sequence, so a full circuit evaluation is a single dispatch.
+    Keys stay jit ARGUMENTS (closure-captured CloudKeys embed as HLO
+    literals and blow the remote-compile payload — NOTES-PERF.md).
+    Compile cost scales with gate count; the executable is cached per
+    (circuit identity, key shapes) by jax's jit cache.
+    """
+    pl_ = the_plan if the_plan is not None else plan(circuit)
+    op_arr, a_arr, b_arr, c_arr, out_arr = circuit._arrays()
+    groups = [
+        (int(s), int(e), opname,
+         tuple(int(x) for x in pl_.order[s:e]))
+        for s, e, opname, _lvl in pl_.groups
+    ]
+
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("impl",))
+    def _run(inputs, ck, impl="auto"):
+        del impl  # jit-cache key for config.step_impl (CLAUDE.md invariant)
+        wires = jnp.zeros((circuit.n_wires, inputs.shape[-1]), jnp.uint32)
+        wires = wires.at[: circuit.n_inputs].set(inputs)
+        for _s, _e, opname, idx in groups:
+            idx = np.asarray(idx, np.int32)
+            ai = a_arr[idx]
+            av = wires[ai]
+            if opname == "not":
+                res = G.not_(av)
+            elif opname == "copy":
+                res = G.copy(av)
+            elif opname == "mux":
+                res = G.mux(av, wires[b_arr[idx]], wires[c_arr[idx]], ck)
+            else:
+                res = _GATE_FNS[opname](av, wires[b_arr[idx]], ck)
+            wires = wires.at[out_arr[idx]].set(res)
+        return wires
+
+    from ..config import config
+
+    def run(inputs: jax.Array, ck: CloudKey) -> jax.Array:
+        return _run(inputs, ck, config.step_impl)
+
+    return run
+
+
 def ripple_carry_adder(width: int) -> tuple[Circuit, list[int], list[int], list[int]]:
     """The reference's adder netlist (examples/add_two_numbers.rs:60-97):
     full adders from xor/and/or, carry-chained. Returns

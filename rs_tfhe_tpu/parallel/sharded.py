@@ -207,7 +207,14 @@ def _tp_blind_rotate(ct, testvec, bsk_local, params, tp: int, impl: str = "auto"
     ICI mesh that is ~6 MB of all-reduce per bootstrapped ciphertext at
     production shapes, so TP only pays off for latency-bound SMALL batches
     where the batch axis cannot fill the chips; throughput workloads should
-    always use data_parallel_gate (zero collectives). `impl` selects the
+    always use data_parallel_gate (zero collectives).
+
+    EVIDENCE STATUS: the "TP wins at B = 1..64" result (SCALING_r03.json)
+    is PLUMBING-VALIDATED ONLY — measured on a virtual 8-device CPU mesh
+    at TEST_TINY, where collectives are memcpys. The psum-per-step cost
+    model above has never been timed against real ICI (this environment
+    exposes one physical chip); treat the crossover point as a model until
+    a multi-chip run lands. `impl` selects the
     per-step local contraction like ops/blind_rotate does for single-chip:
     the fused Pallas step kernel when eligible on TPU, XLA otherwise.
     """

@@ -322,6 +322,20 @@ def main():
     record("circuit_rc_adder32_gate_at_a_time_wall",
            (time.perf_counter() - t0) * 1e3, "ms")
 
+    # whole-plan jit (netlist.compile_circuit): every group in ONE dispatch
+    run_jit = netlist.compile_circuit(ckt, the_plan)
+    wires = run_jit(inputs, ck_mb)  # warm (compiles the full plan)
+    got = decrypt_uint(wires[jnp.asarray(sums)], sk.lv0)
+    assert int(got) == (xv + yv) % (1 << 32), got
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        wires = run_jit(inputs, ck_mb)
+        _ = np.asarray(jax.device_get(wires.ravel()[0]))
+        best = min(best, time.perf_counter() - t0)
+    record("circuit_rc_adder32_wall_jit_mb", best * 1e3, "ms")
+    record("circuit_rc_adder32_rate_jit_mb", n_boot / best, "gates/s")
+
     # Kogge-Stone 32-bit add (the batched-parallel adder: ~2+log2 W levels)
     from rs_tfhe_tpu.models.circuits import add_kogge_stone
 

@@ -116,3 +116,23 @@ def test_mux_and_not_in_scheduled_circuit(tiny, sk, ck, rng):
     assert dec[m1] == (x if s else y)
     assert dec[m2] == (y if s else x)
     assert dec[x1] == ((x if s else y) ^ (y if s else x))
+
+
+def test_compile_circuit_matches_evaluate(sk, ck):
+    """The whole-plan jitted runner (netlist.compile_circuit) produces the
+    same decrypted outputs as the per-group evaluate()."""
+    import jax.numpy as jnp
+
+    from rs_tfhe_tpu.bit_utils import decrypt_uint, encrypt_uint
+    from rs_tfhe_tpu.models import netlist
+
+    ckt, _, _, sums = netlist.ripple_carry_adder(6)
+    x, y = 41, 22
+    alpha = sk.params.tlwe_lv0.alpha
+    ea = encrypt_uint(jax.random.key(8), sk.lv0, x, 6, alpha)
+    eb = encrypt_uint(jax.random.key(9), sk.lv0, y, 6, alpha)
+    inputs = jnp.concatenate([ea, eb], axis=0)
+    run = netlist.compile_circuit(ckt)
+    wires = run(inputs, ck)
+    got = decrypt_uint(wires[jnp.asarray(sums)], sk.lv0)
+    assert int(got) == (x + y) % 64
