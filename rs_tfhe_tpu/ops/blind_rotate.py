@@ -357,8 +357,10 @@ def blind_rotate(
                 else testvec
             )
             packed = bsk_packed if bsk_packed is not None else prepare_bsk_limbs(bsk)
+            # joint_rot: both polys rotate+decompose as one value — measured
+            # +2.5% (8.11k -> 8.32k rot/s, B=4096 FAST, v5e round 5)
             acc = fused_blind_rotate_wide(
-                b_p, a_p, tv, packed, params, drop_limbs=drop
+                b_p, a_p, tv, packed, params, drop_limbs=drop, joint_rot=True
             )
             return acc[:batch]
         if shapes_ok and on_tpu:
@@ -374,6 +376,8 @@ def blind_rotate(
                 b_p, a_p, tv, packed, params,
                 drop_limbs=params.bsk_round_bits // 8,
                 fb=fb,
+                # measured 4541 vs 4503 rot/s at strict B=4096 (round 5)
+                joint_rot=True,
             )
             return acc[:batch]
 

@@ -124,10 +124,40 @@ def _build_w_packed_all(x: jax.Array, blk: int) -> jax.Array:
     return w
 
 
+def _joint_rotate_decompose(acc, a_k, params: TfheParams, rows: int, n: int):
+    """Rotate + gadget-decompose BOTH accumulator polys as ONE [2*rows, N]
+    value: half the VPU op count at double the op size (measured +2.5%
+    end-to-end rotation rate on v5e at B=4096 — LATENCY/joint A/B,
+    NOTES-PERF round 5). Single-limb digits only. Returns `planes` in
+    _decompose_i8's row order."""
+    g = params.trgsw_lv1
+    acc2 = jnp.concatenate(acc, axis=0)  # [2*rows, N]
+    k2 = jnp.concatenate([a_k, a_k], axis=0)
+    diff2 = _barrel_rotate_2d(acc2, k2, n) - acc2
+    offset = jnp.uint32(
+        (params.decomposition_offset + params.decomposition_round_bit)
+        & 0xFFFFFFFF
+    )
+    tmp2 = diff2 + offset
+    mask = jnp.uint32(g.bg - 1)
+    half = jnp.int32(g.half_bg)
+    planes = [None] * (2 * g.l)
+    for i in range(g.l):
+        shift = jnp.uint32(TORUS_BITS - (i + 1) * g.bgbit)
+        d8 = (((tmp2 >> shift) & mask).astype(jnp.int32) - half).astype(
+            jnp.int8
+        )
+        for poly in range(2):
+            planes[poly * g.l + i] = [
+                jax.lax.slice(d8, (poly * rows, 0), (poly * rows + rows, n))
+            ]
+    return planes
+
+
 def _kernel(
     tv_ref, btil_ref, atil_ref, bsk_ref, out_ref, *, params: TfheParams,
     per_ct_tv: bool = False, drop_limbs: int = 0, fb: int = _FB,
-    col_chunk: int | None = None,
+    col_chunk: int | None = None, joint_rot: bool = False,
 ):
     n = params.n1
     g = params.trgsw_lv1
@@ -148,8 +178,14 @@ def _kernel(
 
     a_k = atil_ref[0, :, :]  # [FB, 1] int32
     acc = [out_ref[:, poly, :] for poly in range(2)]
-    diffs = [_barrel_rotate_2d(acc[poly], a_k, n) - acc[poly] for poly in range(2)]
-    planes = _decompose_i8(diffs, params)  # 2L x int8 [FB, N]
+    if joint_rot:
+        planes = _joint_rotate_decompose(acc, a_k, params, fb, n)
+    else:
+        diffs = [
+            _barrel_rotate_2d(acc[poly], a_k, n) - acc[poly]
+            for poly in range(2)
+        ]
+        planes = _decompose_i8(diffs, params)  # 2L x int8 [FB, N]
 
     # ONE joint roll chain for every (o, j) packed step poly (the 4 int8
     # limb planes travel inside each int32 word; Mosaic rejects int8
@@ -296,31 +332,7 @@ def _kernel_wide(
     a_k = atil_ref[0, pl.ds(t0, tile), :]  # [tile, 1] int32
     acc = [out_ref[pl.ds(t0, tile), poly, :] for poly in range(2)]
     if joint_rot:
-        # Round-5 bounded MFU attempt: rotate + decompose BOTH polys as one
-        # [2*tile, N] value — half the VPU op count at double the op size
-        # (the per-tile rotate/decompose chain is the measured 28% residual
-        # the ablations call un-hideable). A/B: scripts/bench_wide_joint.py.
-        acc2 = jnp.concatenate(acc, axis=0)  # [2*tile, N]
-        k2 = jnp.concatenate([a_k, a_k], axis=0)
-        diff2 = _barrel_rotate_2d(acc2, k2, n) - acc2
-        g_ = params.trgsw_lv1
-        offset = jnp.uint32(
-            (params.decomposition_offset + params.decomposition_round_bit)
-            & 0xFFFFFFFF
-        )
-        tmp2 = diff2 + offset
-        mask = jnp.uint32(g_.bg - 1)
-        half = jnp.int32(g_.half_bg)
-        planes = [None] * (2 * g_.l)
-        for i in range(g_.l):
-            shift = jnp.uint32(TORUS_BITS - (i + 1) * g_.bgbit)
-            d2 = ((tmp2 >> shift) & mask).astype(jnp.int32) - half
-            d8 = d2.astype(jnp.int8)  # digit_limbs == 1 under wide_eligible
-            for poly in range(2):
-                planes[poly * g_.l + i] = [
-                    jax.lax.slice(d8, (poly * tile, 0),
-                                  (poly * tile + tile, n))
-                ]
+        planes = _joint_rotate_decompose(acc, a_k, params, tile, n)
     else:
         diffs = [
             _barrel_rotate_2d(acc[poly], a_k, n) - acc[poly]
@@ -911,7 +923,8 @@ def prepare_bsk_limbs(bsk: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "interpret", "drop_limbs", "fb", "col_chunk"),
+    static_argnames=("params", "interpret", "drop_limbs", "fb", "col_chunk",
+                     "joint_rot"),
 )
 def fused_blind_rotate(
     b_til: jax.Array,
@@ -923,6 +936,7 @@ def fused_blind_rotate(
     drop_limbs: int = 0,
     fb: int = _FB,
     col_chunk: int | None = None,
+    joint_rot: bool = False,
 ) -> jax.Array:
     """b_til: int32 [B]; a_til: int32 [n0, B]; testvec: uint32 [2, N]
     (shared) or [B, 2, N] (per-ciphertext LUTs); bsk_limbs: int32
@@ -940,6 +954,7 @@ def fused_blind_rotate(
     kernel = functools.partial(
         _kernel, params=params, per_ct_tv=per_ct_tv, drop_limbs=drop_limbs,
         fb=fb, col_chunk=col_chunk,
+        joint_rot=joint_rot and params.digit_limbs == 1,
     )
     tv_spec = (
         pl.BlockSpec((fb, 2, n), lambda ft, st: (ft, 0, 0), memory_space=pltpu.VMEM)

@@ -70,7 +70,8 @@ def main():
                 )
             else:
                 acc = fused_blind_rotate(
-                    b, a, tv, pk, params, drop_limbs=drop, fb=fb
+                    b, a, tv, pk, params, drop_limbs=drop, fb=fb,
+                    joint_rot=joint,
                 )
             tv = acc[0] ^ jnp.uint32(1)  # feed real data forward
         return acc

@@ -515,3 +515,22 @@ def test_fused_blind_rotate_wide_joint_rot_matches(rng):
         joint_rot=True,
     )
     np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_fused_blind_rotate_tile_joint_rot_matches(rng):
+    """Per-tile kernel joint_rot variant is bit-exact vs the default."""
+    batch, n0, n1 = 128, KP.n0, KP.n1
+    bsk = jnp.asarray(
+        rng.integers(0, 1 << 32, (n0, 2 * KP.trgsw_lv1.l, 2, n1), dtype=np.uint32)
+    )
+    ct = jnp.asarray(rng.integers(0, 1 << 32, (batch, n0 + 1), dtype=np.uint32))
+    tv = jnp.asarray(rng.integers(0, 1 << 32, (2, n1), dtype=np.uint32))
+
+    b_til = ((2 * n1 - BR.modswitch(ct[:, n0], KP)) % (2 * n1)).astype(jnp.int32)
+    a_til = BR.modswitch(ct[:, :n0], KP).T
+    packed = prepare_bsk_limbs(bsk)
+    ref = np.asarray(
+        fused_blind_rotate(b_til, a_til, tv, packed, KP, interpret=True))
+    got = fused_blind_rotate(
+        b_til, a_til, tv, packed, KP, interpret=True, joint_rot=True)
+    np.testing.assert_array_equal(np.asarray(got), ref)
