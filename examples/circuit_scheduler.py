@@ -44,6 +44,16 @@ def main():
     print(f"{args.x % mod} + {args.y % mod} = {got} "
           f"(expect {(args.x + args.y) % mod})")
     assert got == (args.x + args.y) % mod
+
+    # whole-plan jit: the entire group sequence as ONE device program
+    # (gather/scatter indices static) — 7.8x over per-group dispatch on
+    # v5e for the 32-bit adder (194 ms; BENCH_SUITE.json)
+    run = NL.compile_circuit(ckt, plan)
+    _ = run(inputs, ck)  # compile
+    wires = timed("whole-plan jit (compile_circuit)", run, inputs, ck)
+    bits = np.asarray(lwe_decrypt_bool(wires[np.asarray(sum_w)], sk.lv0))
+    got = sum(int(b) << i for i, b in enumerate(bits))
+    assert got == (args.x + args.y) % mod
     print("OK")
 
 
