@@ -28,10 +28,15 @@ import numpy as np
 # on TPU (and vice versa) — a cross-backend drift check for free.
 if "--cpu" in sys.argv:
     jax.config.update("jax_platforms", "cpu")
-
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    # NO persistent cache on CPU: this host's XLA:CPU AOT loader logs
+    # "+prefer-no-gather is not supported ... could lead to SIGILL" and has
+    # segfaulted deserializing cached executables (tests/conftest.py).
+    jax.config.update("jax_compilation_cache_dir", None)
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import rs_tfhe_tpu as tfhe
 from rs_tfhe_tpu import gates, models, proxy_reenc as pre, tlwe
