@@ -93,6 +93,14 @@ def check(name: str, ok: bool) -> None:
     if not ok:
         raise SystemExit(f"validation failed at: {name}")
     PASS += 1
+    # XLA:CPU on this host segfaults LOADING a fresh executable once enough
+    # executables accumulate in one process (tests/conftest.py clears
+    # between modules for the same reason; both --small runs died at the
+    # netlist stage — ~30 loaded executables — before this). Dropping
+    # compiled programs after every check keeps the loader safe; TEST-sized
+    # recompiles cost seconds. TPU runs are unaffected (no clearing).
+    if jax.devices()[0].platform != "tpu":
+        jax.clear_caches()
 
 
 def check_mosaic_tripwire() -> None:
